@@ -1,0 +1,154 @@
+"""Typed, frozen configuration for the RADAD-TPU framework.
+
+Mirrors every knob of the reference's mutable attribute-bag
+(``/root/reference/config.py:18-115``) as a hashable frozen dataclass, so a
+``Config`` instance can be closed over by ``jax.jit``-compiled functions (or
+passed as a static argument) without retracing hazards.
+
+Differences from the reference, by design:
+  * immutable — ``replace(**kw)`` returns a new Config (the reference mutates
+    in place via ``Config.update``, config.py:109-115);
+  * the reference's duplicate-assignment bugs (``vector_db_nprobe`` at
+    config.py:53 and :76, ``detection_dropout`` at :64 and :86) are resolved
+    to the later-wins values (32 and 0.1) and documented here;
+  * no ``device`` attribute — placement on TPU is controlled by JAX meshes
+    and shardings (see ``radad_tpu.parallel``), not a config field;
+  * adds TPU-specific knobs (compute dtype, mesh axis sizes) that have no
+    reference counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Mapping, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- Data paths (reference config.py:23-26) ---
+    data_root: str = "data"
+    train_data_path: str = "data/audio"
+    test_data_path: str = "data/audio"
+    vector_db_path: str = "data/vector_db"
+
+    # --- Data loading and splitting (reference config.py:29-34) ---
+    data_fraction: float = 1.0
+    train_split: float = 0.8
+    random_seed: int = 42
+    prevent_data_leakage: bool = True
+
+    # --- Audio processing (reference config.py:37-39) ---
+    sample_rate: int = 16000
+    clip_duration: float = 3.0  # hard truncation used by the loader (dataset.py:143)
+    segment_length: float = 2.0
+    segment_overlap: float = 0.5
+
+    # --- Encoders (reference config.py:42-45) ---
+    feature_extractor_type: str = "wav2vec2"  # {"wav2vec2", "whisper", "wavlm"}
+    wav2vec2_model_name: str = "facebook/wav2vec2-base-960h"
+    whisper_model_name: str = "openai/whisper-base"
+    wavlm_model_name: str = "microsoft/wavlm-base"
+    wav2vec2_layers_to_use: Tuple[int, ...] = (-4, -3, -2, -1)
+
+    # --- Temporal Pyramid Pooling (reference config.py:48-49) ---
+    tpp_levels: Tuple[int, ...] = (1, 2, 4)
+    tpp_pooling_type: str = "max"  # {"max", "avg"}
+
+    # --- Vector database (reference config.py:52-56, :73-76) ---
+    vector_db_index_type: str = "L2"  # {"L2", "IP", "COSINE", "IVF"}
+    vector_db_nprobe: int = 32  # later-wins value of the duplicate assignment
+    vector_db_nlist: int = 4096
+    vector_add_batch_size: int = 10000
+    top_k: int = 5
+
+    # --- Projection layer (reference config.py:59-60, :80) ---
+    projection_hidden_dim: int = 256
+    projection_output_dim: int = 128
+    projection_dropout: float = 0.1
+
+    # --- Detection model (reference config.py:63, :82-86) ---
+    detection_hidden_dims: Tuple[int, ...] = (64, 32)
+    detection_dropout: float = 0.1  # later-wins value of the duplicate assignment
+    use_batch_norm: bool = True
+    use_layer_norm: bool = False
+
+    # --- Training (reference config.py:67-71) ---
+    batch_size: int = 128
+    eval_batch_size: int = 256
+    db_batch_size: int = 64
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-5
+    num_epochs: int = 5
+    early_stopping_patience: int = 5
+
+    # --- Misc flags carried over (reference config.py:73-92) ---
+    use_mixed_precision: bool = False
+    use_gradient_checkpointing: bool = False
+    fuse_attention_ops: bool = True
+    fuse_activations: bool = True
+    compile_model: bool = False
+    use_float16: bool = False
+    usewandb: bool = False
+
+    # --- TPU-native knobs (no reference counterpart) ---
+    compute_dtype: str = "bfloat16"  # encoder/matmul compute dtype on TPU
+    param_dtype: str = "float32"
+    index_shards: int = 1  # mesh size along the 'index' axis for the sharded DB
+    data_shards: int = 1  # mesh size along the 'data' (batch) axis
+    host_prefetch: int = 2  # host->device prefetch depth in the data loader
+
+    # --- min t-DCF ASV operating point (reference config.py:94-106, optional) ---
+    asv_params: Optional[Tuple[Tuple[str, float], ...]] = None
+
+    # ------------------------------------------------------------------
+    def replace(self, **kwargs: Any) -> "Config":
+        """Return a new Config with the given fields replaced.
+
+        Like the reference's ``Config.update`` (config.py:109-115), raises on
+        unknown keys — but returns a new frozen instance instead of mutating.
+        """
+        names = {f.name for f in dataclasses.fields(self)}
+        for key in kwargs:
+            if key not in names:
+                raise ValueError(f"Invalid configuration parameter: {key}")
+        return dataclasses.replace(self, **kwargs)
+
+    # Convenience derived values ---------------------------------------
+    @property
+    def clip_samples(self) -> int:
+        return int(self.clip_duration * self.sample_rate)
+
+    @property
+    def segment_samples(self) -> int:
+        return int(self.segment_length * self.sample_rate)
+
+    @property
+    def hop_samples(self) -> int:
+        return int(self.segment_samples * (1 - self.segment_overlap))
+
+    @property
+    def num_segments(self) -> int:
+        """Segments per clip under the fixed 3 s truncation (always 2 by default)."""
+        n = self.clip_samples
+        return max(1, (n - self.segment_samples) // self.hop_samples + 1)
+
+    def asv_params_dict(self) -> Optional[Mapping[str, float]]:
+        if self.asv_params is None:
+            return None
+        return dict(self.asv_params)
+
+    # Serialization ----------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        raw = json.loads(text)
+        # JSON round-trips tuples as lists; coerce back for hashability.
+        for key in ("wav2vec2_layers_to_use", "tpp_levels", "detection_hidden_dims"):
+            if key in raw and isinstance(raw[key], list):
+                raw[key] = tuple(raw[key])
+        if raw.get("asv_params") is not None:
+            raw["asv_params"] = tuple((str(k), float(v)) for k, v in raw["asv_params"])
+        return cls().replace(**raw)

@@ -1,0 +1,326 @@
+"""HBM-resident flat vector index with fused on-device top-k search.
+
+TPU-native replacement for the reference's FAISS wrapper
+(``/root/reference/vector_database.py:8-242``). The reference round-trips
+every batch GPU→CPU→FAISS→CPU→GPU (pipeline.py:456,522); here the reference
+embeddings live in device HBM as a plain ``[capacity, D]`` array and a query
+is a single jit-compiled matmul + k-select that composes into the training
+step graph — no host transfer at all.
+
+Supported metrics (vector_database.py:56-98 parity):
+  * ``L2``      — squared L2 distance, smaller is better (FAISS IndexFlatL2
+                  also returns *squared* distances);
+  * ``IP``      — inner product, larger is better (IndexFlatIP);
+  * ``COSINE``  — IP over L2-normalized rows and queries
+                  (vector_database.py:97-105's ``_cosine`` mode);
+  * ``IVF``     — L2 with an inverted-file coarse quantizer (see
+                  ``radad_tpu.index.ivf``); search restricts to the nprobe
+                  nearest cells.
+
+Self-exclusion: the reference overfetches ``k+10`` then filters matches by
+file basename in a Python loop (pipeline.py:478-509). Here every row stores
+an int32 basename id and exclusion is an on-device mask (distance := +inf)
+before the k-select — exact, O(N), no overfetch. An overfetch-parity helper
+is kept for tests.
+
+Persistence is array-native (npz + json) instead of FAISS's opaque binary
+format (vector_database.py:190-242).
+
+Metadata (paths, speaker ids) stays host-side, parallel to the device
+arrays, exactly as the reference keeps Python lists next to the FAISS index
+(vector_database.py:15-17).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radad_tpu.ops import topk as topk_ops
+
+_PAD = 1024  # capacity quantum: keeps search shapes stable across small adds
+
+
+def _round_up(n: int, m: int = _PAD) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+class FlatIndex:
+    """Brute-force (exact) index over clip embeddings.
+
+    Device state: ``vectors [cap, D] f32``, ``labels [cap] f32``,
+    ``ids [cap] i32`` (basename hash per row, for self-exclusion), with rows
+    ``>= n`` masked out of every search. Host state: paths + metadata lists.
+    """
+
+    metric_kinds = ("L2", "IP", "COSINE", "IVF")
+
+    def __init__(self, dimension: int, metric: str = "L2", *,
+                 nlist: int = 0, nprobe: int = 32,
+                 use_pallas: Optional[bool] = None):
+        metric = metric.upper()
+        if metric not in self.metric_kinds:
+            raise ValueError(f"Unknown index metric: {metric}")
+        self.dimension = int(dimension)
+        self.metric = metric
+        self.nlist = int(nlist)
+        self.nprobe = int(nprobe)
+        self.n = 0
+        self._cap = 0
+        self.vectors: Optional[jnp.ndarray] = None  # [cap, D] f32 (normalized for COSINE)
+        self.labels: Optional[jnp.ndarray] = None  # [cap] f32
+        self.ids: Optional[jnp.ndarray] = None  # [cap] i32
+        self.paths: List[str] = []
+        self.metadata: List[dict] = []
+        # IVF state (row -> cell assignment; rows are NOT reordered)
+        self.centroids: Optional[jnp.ndarray] = None  # [nlist, D]
+        self.cells: Optional[jnp.ndarray] = None  # [cap] i32
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = bool(use_pallas)
+
+    # ------------------------------------------------------------------
+    @property
+    def ntotal(self) -> int:
+        return self.n
+
+    def _normalize(self, x: np.ndarray) -> np.ndarray:
+        norms = np.linalg.norm(x, axis=-1, keepdims=True)
+        return x / np.maximum(norms, 1e-12)
+
+    def add(self, vectors: np.ndarray, labels: Sequence[float],
+            paths: Sequence[str], metadata: Optional[Sequence[dict]] = None,
+            ids: Optional[Sequence[int]] = None) -> None:
+        """Append rows (vector_database.py:108-151's add_vectors_batch).
+
+        Adds are host-side numpy concatenation followed by ONE device_put —
+        the index is rebuilt in HBM per add call, which is fine for the
+        build-once / search-many lifecycle this serves.
+        """
+        from radad_tpu.data.manifest import file_id
+
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dimension:
+            raise ValueError(
+                f"expected [N, {self.dimension}] vectors, got {vectors.shape}")
+        if self.metric == "COSINE":
+            vectors = self._normalize(vectors)
+        n_new = vectors.shape[0]
+        if not (len(labels) == len(paths) == n_new):
+            raise ValueError("labels/paths length mismatch with vectors")
+        if ids is None:
+            ids = [file_id(p) for p in paths]
+
+        old_host = (
+            np.asarray(self.vectors)[: self.n] if self.n else
+            np.zeros((0, self.dimension), np.float32))
+        old_labels = (
+            np.asarray(self.labels)[: self.n] if self.n else
+            np.zeros((0,), np.float32))
+        old_ids = (
+            np.asarray(self.ids)[: self.n] if self.n else
+            np.zeros((0,), np.int32))
+
+        all_vecs = np.concatenate([old_host, vectors], axis=0)
+        all_labels = np.concatenate(
+            [old_labels, np.asarray(labels, np.float32)])
+        all_ids = np.concatenate([old_ids, np.asarray(ids, np.int32)])
+        self.paths.extend(list(paths))
+        self.metadata.extend(list(metadata) if metadata is not None
+                             else [{} for _ in range(n_new)])
+        self._install(all_vecs, all_labels, all_ids)
+
+    def _install(self, vecs: np.ndarray, labels: np.ndarray, ids: np.ndarray) -> None:
+        self.n = vecs.shape[0]
+        self._cap = _round_up(self.n)
+        pad = self._cap - self.n
+        vecs_p = np.pad(vecs, ((0, pad), (0, 0)))
+        labels_p = np.pad(labels, (0, pad))
+        ids_p = np.pad(ids, (0, pad), constant_values=-1)
+        self.vectors = jnp.asarray(vecs_p)
+        self.labels = jnp.asarray(labels_p)
+        self.ids = jnp.asarray(ids_p)
+        if self.metric == "IVF" and self.n:
+            self._train_ivf(vecs)
+
+    def _train_ivf(self, vecs: np.ndarray) -> None:
+        from radad_tpu.index.ivf import kmeans
+
+        nlist = self.nlist or min(4096, max(64, int(np.sqrt(self.n)) * 4))
+        self.nlist = nlist
+        train = vecs[: min(len(vecs), 50000)]  # FAISS-style capped train set
+        cents, _ = kmeans(jnp.asarray(train), nlist, iters=10,
+                          seed=0)
+        self.centroids = cents
+        cells = np.asarray(
+            _assign_cells(self.vectors, cents))  # padded rows get some cell; masked by n anyway
+        self.cells = jnp.asarray(cells.astype(np.int32))
+
+    # ------------------------------------------------------------------
+    def search(self, queries, k: int, *, exclude_ids=None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k over the index: → (distances [B,k], indices [B,k]).
+
+        ``indices`` are row ids into the index; invalid slots (k > ntotal)
+        return index -1 and distance +inf/-inf, mirroring FAISS's convention
+        (vector_database.py:159-182 clamps k to ntotal; we mask instead so
+        shapes stay static).
+        ``exclude_ids [B]`` masks rows whose stored basename id matches
+        (the on-device form of pipeline.py:494-501's self-filter).
+        """
+        if self.n == 0:
+            b = np.asarray(queries).shape[0]
+            return (np.full((b, k), np.inf, np.float32),
+                    np.full((b, k), -1, np.int64))
+        q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
+        if self.metric == "COSINE":
+            q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        if exclude_ids is None:
+            exclude_ids = jnp.full((q.shape[0],), -2, jnp.int32)
+        else:
+            exclude_ids = jnp.asarray(exclude_ids, jnp.int32)
+        cells = self.cells if self.metric == "IVF" else None
+        cents = self.centroids if self.metric == "IVF" else None
+        dists, idx = _search_device(
+            q, self.vectors, self.ids, exclude_ids, k,
+            metric=self.metric, n_valid=self.n,
+            centroids=cents, cells=cells, nprobe=self.nprobe,
+            use_pallas=self.use_pallas)
+        return np.asarray(dists), np.asarray(idx)
+
+    def search_device(self, q: jnp.ndarray, k: int, *,
+                      exclude_ids: Optional[jnp.ndarray] = None):
+        """Pure-JAX search usable *inside* a jit-compiled training step."""
+        if exclude_ids is None:
+            exclude_ids = jnp.full((q.shape[0],), -2, jnp.int32)
+        if self.metric == "COSINE":
+            q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        cells = self.cells if self.metric == "IVF" else None
+        cents = self.centroids if self.metric == "IVF" else None
+        return _search_device(
+            q.astype(jnp.float32), self.vectors, self.ids, exclude_ids, k,
+            metric=self.metric, n_valid=self.n,
+            centroids=cents, cells=cells, nprobe=self.nprobe,
+            use_pallas=self.use_pallas)
+
+    def reconstruct_batch(self, indices) -> np.ndarray:
+        """Fetch raw stored vectors by row index — a plain gather, replacing
+        the reference's per-neighbor ``index.reconstruct(ii)`` Python loop
+        (pipeline.py:503). Index -1 returns a zero vector."""
+        idx = jnp.asarray(indices, jnp.int32)
+        safe = jnp.maximum(idx, 0)
+        out = jnp.take(self.vectors, safe.reshape(-1), axis=0)
+        out = out.reshape(idx.shape + (self.dimension,))
+        return np.asarray(
+            jnp.where((idx >= 0)[..., None], out, 0.0))
+
+    def labels_for(self, indices) -> np.ndarray:
+        idx = np.asarray(indices)
+        safe = np.maximum(idx, 0)
+        lab = np.asarray(self.labels)[safe.reshape(-1)].reshape(idx.shape)
+        return np.where(idx >= 0, lab, 0.0).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def save(self, directory: str) -> None:
+        """Array-native persistence (replaces faiss.write_index + pickle,
+        vector_database.py:190-216)."""
+        os.makedirs(directory, exist_ok=True)
+        arrays = dict(
+            vectors=np.asarray(self.vectors)[: self.n],
+            labels=np.asarray(self.labels)[: self.n],
+            ids=np.asarray(self.ids)[: self.n],
+        )
+        if self.centroids is not None:
+            arrays["centroids"] = np.asarray(self.centroids)
+        np.savez(os.path.join(directory, "index_arrays.npz"), **arrays)
+        meta = dict(dimension=self.dimension, metric=self.metric, n=self.n,
+                    nlist=self.nlist, nprobe=self.nprobe)
+        with open(os.path.join(directory, "index_meta.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(directory, "index_host.pkl"), "wb") as f:
+            pickle.dump({"paths": self.paths, "metadata": self.metadata}, f)
+
+    @classmethod
+    def load(cls, directory: str, *, use_pallas: Optional[bool] = None) -> "FlatIndex":
+        with open(os.path.join(directory, "index_meta.json")) as f:
+            meta = json.load(f)
+        idx = cls(meta["dimension"], meta["metric"], nlist=meta.get("nlist", 0),
+                  nprobe=meta.get("nprobe", 32), use_pallas=use_pallas)
+        data = np.load(os.path.join(directory, "index_arrays.npz"))
+        with open(os.path.join(directory, "index_host.pkl"), "rb") as f:
+            host = pickle.load(f)
+        idx.paths = list(host["paths"])
+        idx.metadata = list(host["metadata"])
+        idx._install(data["vectors"], data["labels"], data["ids"])
+        return idx
+
+
+# ----------------------------------------------------------------------
+def _assign_cells(vectors: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
+    d = (jnp.sum(vectors ** 2, -1, keepdims=True)
+         - 2.0 * vectors @ centroids.T
+         + jnp.sum(centroids ** 2, -1)[None, :])
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "n_valid", "nprobe", "use_pallas"))
+def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
+                   centroids=None, cells=None, nprobe=32, use_pallas=False):
+    """Fused score + mask + k-select. All shapes static; jit-cached per
+    (capacity, B, k, metric)."""
+    cap = vectors.shape[0]
+    larger_better = metric in ("IP", "COSINE")
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
+    invalid_row = row_ids >= n_valid  # [cap]
+    excl = ids[None, :] == exclude_ids[:, None]  # [B, cap]
+
+    probe_mask = None
+    if metric == "IVF" and centroids is not None:
+        # Coarse quantizer: nprobe nearest cells per query; rows outside the
+        # probed cells are masked. Same candidate set as list-based IVF —
+        # on TPU the masked flat scan is itself the fast path (sequential
+        # list gathers would defeat the MXU), so this trades no recall.
+        qc = (jnp.sum(q ** 2, -1, keepdims=True)
+              - 2.0 * q @ centroids.T
+              + jnp.sum(centroids ** 2, -1)[None, :])  # [B, nlist]
+        nprobe_eff = min(nprobe, centroids.shape[0])
+        _, probe_cells = jax.lax.top_k(-qc, nprobe_eff)  # [B, nprobe]
+        probe_mask = jnp.any(
+            cells[None, :, None] == probe_cells[:, None, :], axis=-1)  # [B, cap]
+
+    if use_pallas and metric != "IVF":
+        scores = None  # computed inside the fused kernel
+        neg_dists, idx = topk_ops.flat_topk(
+            q, vectors, k,
+            metric=metric, n_valid=n_valid,
+            ids=ids, exclude_ids=exclude_ids)
+        dists = -neg_dists if not larger_better else neg_dists
+        return dists, idx.astype(jnp.int64)
+
+    # XLA path: one matmul + top_k. Scores are "larger is better".
+    if metric in ("IP", "COSINE"):
+        scores = q @ vectors.T
+    else:  # L2 (and IVF over L2): negative squared distance
+        scores = -(jnp.sum(q ** 2, -1, keepdims=True)
+                   - 2.0 * q @ vectors.T
+                   + jnp.sum(vectors ** 2, -1)[None, :])
+
+    neg_inf = jnp.float32(-jnp.inf)
+    mask = invalid_row[None, :] | excl
+    if probe_mask is not None:
+        mask = mask | ~probe_mask
+    scores = jnp.where(mask, neg_inf, scores)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    valid = jnp.isfinite(top_scores)
+    dists = top_scores if larger_better else -top_scores
+    idx = jnp.where(valid, top_idx, -1).astype(jnp.int64)
+    dists = jnp.where(valid, dists, jnp.inf if not larger_better else -jnp.inf)
+    return dists, idx

@@ -1,0 +1,227 @@
+"""Fused batched distance + top-k selection Pallas kernel for TPU.
+
+This is the framework's replacement for FAISS's brute-force scan
+(``/root/reference/vector_database.py:159-182``). One kernel computes the
+query×database score tile on the MXU and immediately reduces it to a
+per-tile top-k on the VPU, so the full ``[B, N]`` score matrix never touches
+HBM — the kernel's HBM traffic is just the database read (unavoidable) plus
+``B × num_tiles × k`` candidate outputs, a ~TN/k reduction in score-matrix
+bandwidth. A final tiny ``lax.top_k`` over the per-tile candidates merges
+globally.
+
+Grid layout: ``(num_db_tiles, num_d_chunks)`` with the feature (D) chunks
+innermost. Scores accumulate in a VMEM scratch across D chunks; on the last
+chunk the kernel applies validity/self-exclusion masks and runs k rounds of
+max+mask (k is small and static — the reference uses top_k=5, config.py:56).
+
+Metrics: "IP" (and cosine, via pre-normalized inputs) returns ``q·x``;
+"L2" returns ``-(‖x‖² - 2 q·x)`` — the per-query ``‖q‖²`` constant doesn't
+affect ranking and is added back by the caller, keeping the kernel free of
+per-query bias rows. Scores are "larger is better" in both cases.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Plain Python float so kernels see a literal, not a captured jax constant.
+NEG_INF = float("-inf")
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+_CAND = 128  # candidate columns per tile (lane-aligned); k must be ≤ this
+
+
+def _topk_tile_kernel(q_ref, x_ref, ids_ref, excl_ref,
+                      vals_ref, idx_ref,
+                      acc_ref, xsq_ref, *,
+                      k: int, metric: str, n_valid: int, tile_n: int):
+    i_nt = pl.program_id(0)
+    i_dc = pl.program_id(1)
+    n_dc = pl.num_programs(1)
+
+    @pl.when(i_dc == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        xsq_ref[:] = jnp.zeros_like(xsq_ref)
+
+    q = q_ref[:]  # [B, DC]
+    x = x_ref[:]  # [TN, DC]
+    # MXU: partial q·xᵀ for this feature chunk.
+    acc_ref[:] += jax.lax.dot_general(
+        q, x, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if metric == "L2":
+        xsq_ref[:] += jnp.sum(x * x, axis=1, keepdims=True).T  # [1, TN]
+
+    @pl.when(i_dc == n_dc - 1)
+    def _():
+        scores = acc_ref[:]  # [B, TN]
+        if metric == "L2":
+            scores = 2.0 * scores - xsq_ref[:]  # -(‖x‖² - 2q·x)
+
+        b = scores.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+        global_row = i_nt * tile_n + col
+        invalid = global_row >= n_valid
+        # Self-exclusion: row id equals the query's excluded id.
+        excl = ids_ref[:].reshape(1, tile_n) == excl_ref[:]  # [B,TN] vs [B,1]
+        scores = jnp.where(invalid | excl, NEG_INF, scores)
+
+        # k rounds of max+mask (k static and small), accumulated into
+        # lane-aligned [B, _CAND] candidate blocks (cols ≥ k stay -inf/-1).
+        out_col = jax.lax.broadcasted_iota(jnp.int32, (b, _CAND), 1)
+        vals = jnp.full((b, _CAND), NEG_INF, jnp.float32)
+        idxs = jnp.full((b, _CAND), -1, jnp.int32)
+        for j in range(k):
+            best = jnp.max(scores, axis=1)  # [B]
+            best_idx = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [B]
+            gidx = jnp.where(jnp.isfinite(best), i_nt * tile_n + best_idx, -1)
+            vals = jnp.where(out_col == j, best[:, None], vals)
+            idxs = jnp.where(out_col == j, gidx[:, None], idxs)
+            if j + 1 < k:
+                scores = jnp.where(col == best_idx[:, None], NEG_INF, scores)
+        vals_ref[0] = vals
+        idx_ref[0] = idxs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "n_valid", "tile_n", "chunk_d", "interpret"))
+def flat_topk(
+    q: jnp.ndarray,
+    vectors: jnp.ndarray,
+    k: int,
+    *,
+    metric: str = "L2",
+    n_valid: Optional[int] = None,
+    ids: Optional[jnp.ndarray] = None,
+    exclude_ids: Optional[jnp.ndarray] = None,
+    tile_n: int = 1024,
+    chunk_d: int = 512,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused top-k scan: → (scores [B,k] larger-better, indices [B,k] i32).
+
+    ``vectors`` is the HBM-resident database ``[N, D]``; ``q`` is ``[B, D]``.
+    Rows ≥ ``n_valid`` and rows whose ``ids`` match the query's
+    ``exclude_ids`` are masked. Arbitrary B/N/D are handled by zero-padding
+    to tile multiples (zero feature padding is exact for both IP and L2).
+    """
+    if metric not in ("IP", "COSINE", "L2"):
+        raise ValueError(f"flat_topk metric must be IP/COSINE/L2, got {metric}")
+    if k > _CAND:
+        raise ValueError(f"flat_topk supports k ≤ {_CAND}, got {k}")
+    kernel_metric = "IP" if metric in ("IP", "COSINE") else "L2"
+    b, d = q.shape
+    n = vectors.shape[0]
+    if n_valid is None:
+        n_valid = n
+    if ids is None:
+        ids = jnp.full((n,), -1, jnp.int32)
+    if exclude_ids is None:
+        exclude_ids = jnp.full((b,), -2, jnp.int32)
+
+    tile_n = min(tile_n, _round_up(n, 128))
+    chunk_d = min(chunk_d, _round_up(d, 128))
+    b_pad = _round_up(b, 8)
+    n_pad = _round_up(n, tile_n)
+    d_pad = _round_up(d, chunk_d)
+
+    qp = jnp.zeros((b_pad, d_pad), jnp.float32).at[:b, :d].set(q)
+    xp = vectors
+    if (n_pad, d_pad) != vectors.shape:
+        xp = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(vectors)
+    ids_p = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(ids)
+    excl_p = jnp.full((b_pad, 1), -2, jnp.int32).at[:b, 0].set(exclude_ids)
+
+    num_nt = n_pad // tile_n
+    num_dc = d_pad // chunk_d
+
+    kernel = functools.partial(
+        _topk_tile_kernel, k=k, metric=kernel_metric,
+        n_valid=n_valid, tile_n=tile_n)
+
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=(num_nt, num_dc),
+        in_specs=[
+            pl.BlockSpec((b_pad, chunk_d), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),  # queries
+            pl.BlockSpec((tile_n, chunk_d), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),  # db tile
+            pl.BlockSpec((tile_n,), lambda i, j: (i,),
+                         memory_space=pltpu.VMEM),  # row ids
+            pl.BlockSpec((b_pad, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),  # exclude ids
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b_pad, _CAND), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_pad, _CAND), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_nt, b_pad, _CAND), jnp.float32),
+            jax.ShapeDtypeStruct((num_nt, b_pad, _CAND), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, tile_n), jnp.float32),  # score accumulator
+            pltpu.VMEM((1, tile_n), jnp.float32),      # ‖x‖² accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d_pad,
+            bytes_accessed=n_pad * d_pad * 4 + b_pad * d_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qp, xp, ids_p, excl_p)
+
+    # Global merge over per-tile candidates (tiny: [B, num_nt*k]).
+    vals = jnp.transpose(vals[:, :, :k], (1, 0, 2)).reshape(b_pad, num_nt * k)
+    idx = jnp.transpose(idx[:, :, :k], (1, 0, 2)).reshape(b_pad, num_nt * k)
+    merged_vals, merged_pos = jax.lax.top_k(vals, k)
+    merged_idx = jnp.take_along_axis(idx, merged_pos, axis=1)
+    valid = jnp.isfinite(merged_vals)
+    merged_idx = jnp.where(valid, merged_idx, -1)
+
+    out_vals = merged_vals[:b]
+    out_idx = merged_idx[:b]
+    if kernel_metric == "L2":
+        # Add back the per-query ‖q‖² so values are true -(squared L2).
+        qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        out_vals = jnp.where(jnp.isfinite(out_vals), out_vals - qsq, out_vals)
+    return out_vals, out_idx
+
+
+def flat_topk_reference(q, vectors, k, *, metric="L2", n_valid=None,
+                        ids=None, exclude_ids=None):
+    """Pure-XLA oracle with identical contract (for tests and CPU runs)."""
+    q = jnp.asarray(q, jnp.float32)
+    vectors = jnp.asarray(vectors, jnp.float32)
+    b = q.shape[0]
+    n = vectors.shape[0]
+    if n_valid is None:
+        n_valid = n
+    if metric in ("IP", "COSINE"):
+        scores = q @ vectors.T
+    else:
+        scores = -(jnp.sum(q ** 2, -1, keepdims=True) - 2.0 * q @ vectors.T
+                   + jnp.sum(vectors ** 2, -1)[None, :])
+    row = jnp.arange(n)
+    mask = (row >= n_valid)[None, :]
+    if ids is not None and exclude_ids is not None:
+        mask = mask | (jnp.asarray(ids)[None, :] == jnp.asarray(exclude_ids)[:, None])
+    scores = jnp.where(mask, NEG_INF, scores)
+    v, i = jax.lax.top_k(scores, k)
+    i = jnp.where(jnp.isfinite(v), i, -1)
+    return v, i.astype(jnp.int32)
