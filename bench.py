@@ -1,0 +1,97 @@
+"""Benchmark harness: ITW-scale flat top-k retrieval throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric (BASELINE.json north star): batched flat L2 top-5 query throughput
+over an In-the-Wild-scale reference DB (25,423 × 5,376 f32 — the wav2vec2
+TPP embedding matrix), with on-device self-exclusion, exactly as executed
+inside the training/eval steps. Baseline for ``vs_baseline`` is a host-CPU
+flat scan (numpy matmul + argpartition) of the same DB — the "CPU
+FAISS-style flat baseline" named by BASELINE.json; the target there
+is ≥10×.
+
+Timing methodology: this environment's TPU relay acks block_until_ready
+early, so per-op time is measured as the delta between dependent chains of
+n and 1 executions, synchronized by small host transfers
+(radad_tpu.utils.benchmark). Recall@5 vs a numpy oracle is asserted == 1.0
+before timing (exactness is part of the contract).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def cpu_baseline_qps(x: np.ndarray, q: np.ndarray, k: int, reps: int = 3
+                     ) -> float:
+    """Host flat L2 scan: matmul + argpartition (what faiss-cpu FlatL2 does,
+    minus its SIMD hand-tuning)."""
+    xsq = (x ** 2).sum(-1)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        scores = q @ x.T
+        d = xsq[None, :] - 2 * scores
+        idx = np.argpartition(d, k, axis=1)[:, :k]
+    dt = (time.perf_counter() - t0) / reps
+    return q.shape[0] / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from radad_tpu.ops import topk as T
+    from radad_tpu.utils.benchmark import chain_time, warmup
+
+    n, d, b, k = 25423, 5376, 256, 5
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    ids = (np.arange(n) % 9973).astype(np.int32)
+    excl = (np.arange(b) % 9973).astype(np.int32)
+
+    cpu_qps = cpu_baseline_qps(x, q, k)
+    print(f"# cpu baseline: {cpu_qps:,.0f} QPS", file=sys.stderr)
+
+    xd = jnp.asarray(x)
+    xd.block_until_ready()
+    warmup()
+
+    # Exactness gate: recall@5 vs numpy oracle must be 1.0.
+    idsd, excld = jnp.asarray(ids), jnp.asarray(excl)
+    qd = jnp.asarray(q)
+    v, i_dev = T.flat_topk_reference(qd, xd, k, metric="L2", n_valid=n,
+                                     ids=idsd, exclude_ids=excld)
+    i_dev = np.asarray(i_dev)
+    scores = -(np.sum(q ** 2, -1, keepdims=True) - 2 * q @ x.T
+               + np.sum(x ** 2, -1)[None, :])
+    scores[ids[None, :] == excl[:, None]] = -np.inf
+    oracle = np.argsort(-scores, axis=1)[:, :k]
+    recall = np.mean([len(set(i_dev[r]) & set(oracle[r])) / k
+                      for r in range(b)])
+    assert recall == 1.0, f"recall@5 = {recall} != 1.0"
+    print(f"# recall@5 vs oracle: {recall}", file=sys.stderr)
+
+    def step(qs, xd, idsd, excld):
+        vals, _ = T.flat_topk_reference(qs, xd, k, metric="L2", n_valid=n,
+                                        ids=idsd, exclude_ids=excld)
+        return qs + 0.0 * jnp.sum(vals)
+
+    dt = chain_time(step, qd, n=16, consts=(xd, idsd, excld))
+    qps = b / dt
+    print(f"# tpu: {dt * 1000:.3f} ms/batch → {qps:,.0f} QPS "
+          f"({n * d * 4 / dt / 1e9:.0f} GB/s effective)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "ITW-scale flat L2 top-5 retrieval throughput (exact, "
+                  "self-excluded, on-device)",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / cpu_qps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""ICI-sharded flat-index retrieval via shard_map.
+
+The distributed replacement for FAISS-GPU (SURVEY.md §2 "Index sharding"):
+database rows are partitioned across the mesh 'index' axis; each device
+scans only its shard (matmul + local top-k on its own HBM slice), then the
+per-shard candidates — (score, global row id, neighbor vector, neighbor
+label) — are combined with ONE ``all_gather`` over ICI and re-top-k'd.
+Gathering the candidate *vectors* along with the scores (k·D floats per
+query per shard) avoids a second cross-shard gather for reconstruction.
+
+Communication cost per query batch: S · B_local · k · (D+3) floats over
+ICI — for B=256, k=5, D=5376, S=8 shards that's ~27 MB/shard, microseconds
+on ICI — versus the reference's per-batch PCIe round-trip to host FAISS.
+
+Query batches ride the 'data' axis; the two axes compose in a single
+shard_map over the 2-D mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from radad_tpu.parallel.mesh import DATA_AXIS, INDEX_AXIS
+
+
+class ShardedRetrieval(NamedTuple):
+    neighbors: jnp.ndarray  # [B, k, D]
+    labels: jnp.ndarray  # [B, k]
+    dists: jnp.ndarray  # [B, k] (true distances; +inf on missing)
+    indices: jnp.ndarray  # [B, k] global row ids (-1 on missing)
+
+
+def _local_scores(q, vectors, metric):
+    if metric in ("IP", "COSINE"):
+        return q @ vectors.T
+    return -(jnp.sum(q ** 2, -1, keepdims=True) - 2.0 * q @ vectors.T
+             + jnp.sum(vectors ** 2, -1)[None, :])
+
+
+def sharded_retrieve(
+    mesh: Mesh,
+    q: jnp.ndarray,  # [B, D] — sharded over 'data'
+    vectors: jnp.ndarray,  # [cap, D] — sharded over 'index' (rows)
+    labels: jnp.ndarray,  # [cap]
+    ids: jnp.ndarray,  # [cap] basename ids; -1 on padding rows
+    row_valid: jnp.ndarray,  # [cap] bool
+    exclude_ids: jnp.ndarray,  # [B] — sharded over 'data'
+    *,
+    k: int,
+    metric: str = "L2",
+) -> ShardedRetrieval:
+    """Exact top-k over the sharded database; recall@k == 1.0 vs the
+    single-device scan by construction (per-shard exact top-k + global
+    merge cannot drop a true neighbor: each shard contributes its best k)."""
+
+    def shard_fn(q_loc, v_loc, lab_loc, ids_loc, valid_loc, excl_loc):
+        rows_per_shard = v_loc.shape[0]
+        shard_i = jax.lax.axis_index(INDEX_AXIS)
+        scores = _local_scores(q_loc, v_loc, metric)  # [b, rows]
+        mask = (~valid_loc)[None, :] | (ids_loc[None, :] == excl_loc[:, None])
+        scores = jnp.where(mask, -jnp.inf, scores)
+        vals, loc_idx = jax.lax.top_k(scores, k)  # [b, k]
+        gidx = shard_i * rows_per_shard + loc_idx
+        gidx = jnp.where(jnp.isfinite(vals), gidx, -1)
+        cand_vecs = jnp.take(v_loc, loc_idx.reshape(-1), axis=0)
+        cand_vecs = cand_vecs.reshape(loc_idx.shape + (v_loc.shape[-1],))
+        cand_vecs = jnp.where((gidx >= 0)[..., None], cand_vecs, 0.0)
+        cand_labs = jnp.where(
+            gidx >= 0, jnp.take(lab_loc, loc_idx.reshape(-1)
+                                ).reshape(loc_idx.shape), 0.0)
+
+        # ONE collective: gather every shard's candidates along 'index'.
+        g_vals = jax.lax.all_gather(vals, INDEX_AXIS)  # [S, b, k]
+        g_idx = jax.lax.all_gather(gidx, INDEX_AXIS)
+        g_vecs = jax.lax.all_gather(cand_vecs, INDEX_AXIS)  # [S, b, k, D]
+        g_labs = jax.lax.all_gather(cand_labs, INDEX_AXIS)
+
+        s = g_vals.shape[0]
+        b = g_vals.shape[1]
+        flat_vals = jnp.transpose(g_vals, (1, 0, 2)).reshape(b, s * k)
+        flat_idx = jnp.transpose(g_idx, (1, 0, 2)).reshape(b, s * k)
+        flat_vecs = jnp.transpose(g_vecs, (1, 0, 2, 3)).reshape(
+            b, s * k, g_vecs.shape[-1])
+        flat_labs = jnp.transpose(g_labs, (1, 0, 2)).reshape(b, s * k)
+
+        top_vals, pos = jax.lax.top_k(flat_vals, k)  # [b, k]
+        sel = lambda arr: jnp.take_along_axis(arr, pos, axis=1)
+        out_idx = sel(flat_idx)
+        out_labs = sel(flat_labs)
+        out_vecs = jnp.take_along_axis(
+            flat_vecs, pos[..., None], axis=1)
+        ok = jnp.isfinite(top_vals)
+        # _local_scores already includes the full squared distance for L2
+        # (q² - 2qx + x²), so negation gives the true value directly.
+        dists = jnp.where(ok, -top_vals if metric == "L2" else top_vals,
+                          jnp.inf if metric == "L2" else -jnp.inf)
+        return (out_vecs, out_labs, dists,
+                jnp.where(ok, out_idx, -1))
+
+    out = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(INDEX_AXIS, None), P(INDEX_AXIS),
+                  P(INDEX_AXIS), P(INDEX_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None),
+                   P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        # outputs are replicated along 'index' by construction (identical
+        # post-all_gather merge on every shard); the static checker can't
+        # prove that, so disable varying-axis checking for this map.
+        check_vma=False,
+    )(q, vectors, labels, ids, row_valid, exclude_ids)
+    return ShardedRetrieval(*out)
+
+
+class ShardedIndex:
+    """Host wrapper: pads DB rows to a multiple of the 'index' axis size and
+    places each array with its mesh sharding. Drop-in provider of the
+    arguments ``sharded_retrieve`` needs inside a pjit-ted train step."""
+
+    def __init__(self, mesh: Mesh, dimension: int, metric: str = "L2"):
+        self.mesh = mesh
+        self.dimension = dimension
+        self.metric = metric.upper()
+        self.n = 0
+        self.vectors = None
+        self.labels = None
+        self.ids = None
+        self.row_valid = None
+        self.paths: list = []
+
+    @property
+    def num_shards(self) -> int:
+        return self.mesh.shape[INDEX_AXIS]
+
+    def build(self, vectors: np.ndarray, labels: np.ndarray,
+              ids: np.ndarray, paths=None) -> None:
+        n, d = vectors.shape
+        if d != self.dimension:
+            raise ValueError(f"dim mismatch: {d} != {self.dimension}")
+        if self.metric == "COSINE":
+            vectors = vectors / np.maximum(
+                np.linalg.norm(vectors, axis=-1, keepdims=True), 1e-12)
+        s = self.num_shards
+        cap = ((n + s - 1) // s) * s
+        pad = cap - n
+        vec_p = np.pad(np.asarray(vectors, np.float32), ((0, pad), (0, 0)))
+        lab_p = np.pad(np.asarray(labels, np.float32), (0, pad))
+        ids_p = np.pad(np.asarray(ids, np.int32), (0, pad),
+                       constant_values=-1)
+        valid = np.zeros((cap,), bool)
+        valid[:n] = True
+        row_shard = NamedSharding(self.mesh, P(INDEX_AXIS, None))
+        vec_shard = NamedSharding(self.mesh, P(INDEX_AXIS))
+        self.vectors = jax.device_put(vec_p, row_shard)
+        self.labels = jax.device_put(lab_p, vec_shard)
+        self.ids = jax.device_put(ids_p, vec_shard)
+        self.row_valid = jax.device_put(valid, vec_shard)
+        self.n = n
+        self.paths = list(paths) if paths is not None else []
+
+    def retrieve(self, q: jnp.ndarray, exclude_ids: jnp.ndarray, k: int
+                 ) -> ShardedRetrieval:
+        if self.metric == "COSINE":
+            q = q / jnp.maximum(jnp.linalg.norm(q, -1, keepdims=True), 1e-12)
+        return sharded_retrieve(
+            self.mesh, q, self.vectors, self.labels, self.ids,
+            self.row_valid, exclude_ids, k=k,
+            metric=self.metric)

@@ -1,0 +1,517 @@
+"""DetectionPipeline: the end-to-end retrieval-augmented training runtime.
+
+TPU-native counterpart of the reference's ``DeepfakeDetectionPipeline``
+(``/root/reference/pipeline.py:70-1259``). The reference's hot loop crosses
+host↔device (and Python↔FAISS) four times per batch: embed on GPU → copy to
+CPU → FAISS search → per-neighbor Python ``reconstruct`` loop → copy back
+(pipeline.py:449-532). Here the ENTIRE step —
+
+    wav [B,48000] → segment → frozen encoder → TPP → flat-index top-k with
+    on-device self-exclusion → neighbor gather → fusion model → pos-weighted
+    BCE → grads → per-group clip + Adam update → metric accumulation
+
+— is ONE jit-compiled XLA program. The only host↔device traffic per batch is
+the input audio upload; metric accumulators ride inside the step and are
+transferred once per epoch.
+
+Public surface mirrors the reference orchestrator:
+``build_vector_database`` (pipeline.py:416-447), ``train`` (:760-947),
+``evaluate_with_scores`` (:691-756), ``evaluate`` (:964-1036), ``predict``
+(:1038-1103), ``save_models``/``load_models`` (:1112-1134), plus the
+metrics.csv / summary.json / ROC-DET artifact stream.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from radad_tpu.config import Config
+from radad_tpu.data.loader import Batch, iterate_batches
+from radad_tpu.data.manifest import Manifest, file_id, validate_no_leakage
+from radad_tpu.data.audio import load_audio
+from radad_tpu.index.flat import FlatIndex, _search_device
+from radad_tpu.models.encoder import FrozenEncoder, build_encoder
+from radad_tpu.models.fusion import build_radad_model
+from radad_tpu.ops.segmenter import segment_audio
+from radad_tpu.ops.tpp import temporal_pyramid_pool, tpp_output_dim
+from radad_tpu.train import metrics as M
+from radad_tpu.train import optim
+from radad_tpu.train.artifacts import ArtifactWriter, WandbShim
+from radad_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+logger = logging.getLogger(__name__)
+
+
+def make_embed_fn(encoder: FrozenEncoder, config: Config):
+    """Pure clip-embedding function: audio [B, clip] → TPP vectors [B, D].
+
+    The reference's ``process_audio_batch`` (pipeline.py:392-414) runs
+    segment→encode→pool per clip in Python; here the whole batch×segment
+    grid is one traced program (segments fold into the batch axis).
+    """
+
+    def embed(enc_params, audio: jnp.ndarray) -> jnp.ndarray:
+        segs = segment_audio(audio, config.segment_samples,
+                             config.hop_samples)  # [B, S, L]
+        feats = encoder.segment_features(enc_params, segs)  # [B, S, T, D]
+        tpp = temporal_pyramid_pool(
+            feats, config.tpp_levels, config.tpp_pooling_type)  # [B, S, 7D]
+        return jnp.mean(tpp, axis=1).astype(jnp.float32)  # mean over windows
+
+    return embed
+
+
+def retrieve_on_device(tpp, vectors, labels, ids, exclude_ids, *, k, metric,
+                       n_valid):
+    """In-graph retrieval: fused search + neighbor/label gather.
+
+    Replaces the reference's overfetch-(k+10)-filter-reconstruct host loop
+    (pipeline.py:478-515): exclusion is an exact on-device id mask, missing
+    neighbors (k > matches) come back as zero vectors with label 0.0 and
+    distance +inf — the same padding contract as pipeline.py:511-515.
+    """
+    q = tpp
+    if metric == "COSINE":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    dists, idx = _search_device(
+        q, vectors, ids, exclude_ids, k, metric=metric, n_valid=n_valid,
+        use_pallas=False)
+    safe = jnp.maximum(idx, 0).astype(jnp.int32)
+    neighbors = jnp.take(vectors, safe.reshape(-1), axis=0)
+    neighbors = neighbors.reshape(idx.shape + (vectors.shape[-1],))
+    ok = (idx >= 0)[..., None]
+    neighbors = jnp.where(ok, neighbors, 0.0)
+    nlabels = jnp.where(idx >= 0,
+                        jnp.take(labels, safe.reshape(-1)).reshape(idx.shape),
+                        0.0)
+    return neighbors, nlabels, dists, idx
+
+
+class DetectionPipeline:
+    """Orchestrator wiring encoder → TPP → index → fusion model."""
+
+    def __init__(self, config: Config, *, encoder: Optional[FrozenEncoder] = None,
+                 use_pallas: Optional[bool] = None):
+        self.config = config
+        self.encoder = encoder if encoder is not None else build_encoder(config)
+        self.tpp_dim = tpp_output_dim(config.tpp_levels,
+                                      self.encoder.feature_dim)
+        self.model = build_radad_model(config, self.tpp_dim)
+        metric = config.vector_db_index_type.upper()
+        self.index = FlatIndex(
+            self.tpp_dim, metric, nlist=config.vector_db_nlist,
+            nprobe=config.vector_db_nprobe, use_pallas=use_pallas)
+        self.writer = ArtifactWriter(config.data_root)
+        self.wandb = WandbShim(config.usewandb)
+        self.step = 0
+        self.variables = None  # {"params": ..., possibly "batch_stats": ...}
+        self.opt = optim.make_optimizer(config.learning_rate,
+                                        config.weight_decay)
+        self.opt_state = None
+        self._embed = jax.jit(make_embed_fn(self.encoder, config))
+        self._train_step = None  # built lazily (needs index capacity)
+        self._eval_step = None
+        self._rng = jax.random.PRNGKey(config.random_seed)
+
+    # ------------------------------------------------------------------
+    def _ensure_model_state(self):
+        if self.variables is not None:
+            return
+        k1, self._rng = jax.random.split(self._rng)
+        dummy_n = jnp.zeros((1, self.config.top_k, self.tpp_dim))
+        dummy_t = jnp.zeros((1, self.tpp_dim))
+        self.variables = self.model.init(k1, dummy_n, dummy_t)
+        self.opt_state = self.opt.init(self.variables["params"])
+
+    def _index_args(self):
+        return (self.index.vectors, self.index.labels, self.index.ids)
+
+    # ------------------------------------------------------------------
+    def build_vector_database(self, train_manifest: Manifest,
+                              save: bool = True) -> None:
+        """Embed the training set and install it as the reference DB
+        (pipeline.py:416-447)."""
+        cfg = self.config
+        logger.info("Building vector database from %d training clips",
+                    len(train_manifest))
+        t0 = time.time()
+        vec_chunks: List[np.ndarray] = []
+        paths: List[str] = []
+        labels: List[float] = []
+        speakers: List[dict] = []
+        for batch in iterate_batches(
+                train_manifest, cfg.db_batch_size,
+                sample_rate=cfg.sample_rate, duration=cfg.clip_duration,
+                shuffle=False, prefetch=cfg.host_prefetch):
+            tpp = self._embed(self.encoder.params, jnp.asarray(batch.audio))
+            nv = batch.num_valid
+            vec_chunks.append(np.asarray(tpp)[:nv])
+            paths.extend(batch.paths[:nv])
+            labels.extend(batch.labels[:nv].tolist())
+            speakers.extend({"speaker_id": s} for s in batch.speakers[:nv])
+        vectors = np.concatenate(vec_chunks, axis=0)
+        self.index.add(vectors, labels, paths, metadata=speakers)
+        if save:
+            self.index.save(self.config.vector_db_path)
+        logger.info("Vector DB built: %d vectors in %.1fs",
+                    self.index.ntotal, time.time() - t0)
+        self._train_step = None  # capacity changed → rebuild jit steps
+        self._eval_step = None
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        """Compile train/eval steps against the current index capacity."""
+        cfg = self.config
+        model = self.model
+        embed = make_embed_fn(self.encoder, cfg)
+        metric = self.index.metric if self.index.metric != "IVF" else "L2"
+        k = cfg.top_k
+        n_valid = self.index.ntotal
+        has_bn = self.variables is not None and "batch_stats" in self.variables
+        opt = self.opt
+
+        def forward(variables, neighbors, tpp, *, train: bool, rng=None):
+            kwargs = dict(deterministic=not train,
+                          use_running_average=not train)
+            if train and has_bn:
+                out, updates = model.apply(
+                    variables, neighbors, tpp, rngs={"dropout": rng},
+                    mutable=["batch_stats"], **kwargs)
+                return out, updates
+            if train:
+                out = model.apply(variables, neighbors, tpp,
+                                  rngs={"dropout": rng}, **kwargs)
+                return out, {}
+            return model.apply(variables, neighbors, tpp, **kwargs), {}
+
+        def common(enc_params, index_args, audio, exclude_ids):
+            tpp = embed(enc_params, audio)
+            vectors, labels, ids = index_args
+            neighbors, nlabels, dists, idx = retrieve_on_device(
+                tpp, vectors, labels, ids, exclude_ids,
+                k=k, metric=metric, n_valid=n_valid)
+            neighbors = jnp.nan_to_num(neighbors)  # pipeline.py:801-803
+            return tpp, neighbors, nlabels
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step(variables, opt_state, acc, enc_params, index_args,
+                       audio, batch_labels, exclude_ids, valid, pos_weight,
+                       rng):
+            tpp, neighbors, _ = common(enc_params, index_args, audio,
+                                       exclude_ids)
+
+            def loss_fn(params):
+                vs = {**variables, "params": params}
+                logits, updates = forward(vs, neighbors, tpp, train=True,
+                                          rng=rng)
+                loss = optim.pos_weighted_bce(logits, batch_labels,
+                                              pos_weight, valid)
+                return loss, (logits, updates)
+
+            (loss, (logits, updates)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(variables["params"])
+            gnorms = optim.group_grad_norms(grads)
+            updates_tx, opt_state = opt.update(grads, opt_state,
+                                               variables["params"])
+            new_params = optax.apply_updates(variables["params"], updates_tx)
+            new_vars = {**variables, "params": new_params, **updates}
+
+            vmask = valid.astype(jnp.float32)
+            preds = (logits > 0).astype(jnp.float32)
+            nnz = jnp.mean((jnp.sum(jnp.abs(neighbors), axis=-1) > 0)
+                           .astype(jnp.float32))
+            nv = jnp.sum(vmask)
+            acc = {
+                "loss_sum": acc["loss_sum"] + loss * nv,
+                "correct": acc["correct"] + jnp.sum(
+                    (preds == batch_labels).astype(jnp.float32) * vmask),
+                "count": acc["count"] + nv,
+                "nnz_sum": acc["nnz_sum"] + nnz,
+                "gn_proj_sum": acc["gn_proj_sum"] + gnorms["projection_layer"],
+                "gn_fuse_sum": acc["gn_fuse_sum"] + gnorms["fuse"],
+                "gn_det_sum": acc["gn_det_sum"] + gnorms["detection_model"],
+                "batches": acc["batches"] + 1.0,
+            }
+            return new_vars, opt_state, acc
+
+        @jax.jit
+        def eval_step(variables, enc_params, index_args, audio, exclude_ids):
+            tpp, neighbors, nlabels = common(enc_params, index_args, audio,
+                                             exclude_ids)
+            logits, _ = forward(variables, neighbors, tpp, train=False)
+            return logits, nlabels
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    def _steps(self):
+        if self._train_step is None:
+            self._ensure_model_state()
+            self._build_steps()
+        return self._train_step, self._eval_step
+
+    # ------------------------------------------------------------------
+    def train(self, train_manifest: Manifest,
+              val_manifest: Optional[Manifest] = None) -> Dict:
+        cfg = self.config
+        if val_manifest is not None and cfg.prevent_data_leakage:
+            validate_no_leakage(train_manifest, val_manifest)
+        if self.index.ntotal == 0:
+            self.build_vector_database(train_manifest)
+        self._ensure_model_state()
+        train_step, _ = self._steps()
+
+        pos_weight = train_manifest.pos_weight()
+        logger.info("Using pos_weight=%.3f for BCE", pos_weight)
+        self.wandb.log({"config/pos_weight": pos_weight})
+        enc_params = self.encoder.params
+        index_args = self._index_args()
+
+        for epoch in range(cfg.num_epochs):
+            t_epoch = time.time()
+            acc = {k: jnp.float32(0.0) for k in (
+                "loss_sum", "correct", "count", "nnz_sum", "gn_proj_sum",
+                "gn_fuse_sum", "gn_det_sum", "batches")}
+            for batch in iterate_batches(
+                    train_manifest, cfg.batch_size,
+                    sample_rate=cfg.sample_rate, duration=cfg.clip_duration,
+                    shuffle=True, seed=cfg.random_seed + epoch,
+                    prefetch=cfg.host_prefetch):
+                self._rng, step_rng = jax.random.split(self._rng)
+                self.variables, self.opt_state, acc = train_step(
+                    self.variables, self.opt_state, acc, enc_params,
+                    index_args,
+                    jnp.asarray(batch.audio), jnp.asarray(batch.labels),
+                    jnp.asarray(batch.ids), jnp.asarray(batch.valid),
+                    pos_weight, step_rng)
+                self.step += 1
+            accs = {k: float(v) for k, v in acc.items()}  # one epoch sync
+            train_loss = accs["loss_sum"] / max(accs["count"], 1.0)
+            train_acc = accs["correct"] / max(accs["count"], 1.0)
+
+            row = {
+                "epoch": epoch + 1,
+                "train_loss": train_loss, "train_acc": train_acc,
+                "val_loss": None, "val_acc": None, "auc": None,
+                "eer_percent": None, "macro_eer_percent": None,
+                "eer_threshold": None, "min_tDCF": None,
+                "min_tDCF_threshold": None,
+                "avg_nnz_neighbor_rate": accs["nnz_sum"] / max(accs["batches"], 1),
+                "avg_grad_norm_projection": accs["gn_proj_sum"] / max(accs["batches"], 1),
+                "avg_grad_norm_fuse": accs["gn_fuse_sum"] / max(accs["batches"], 1),
+                "avg_grad_norm_detection": accs["gn_det_sum"] / max(accs["batches"], 1),
+                "lr": cfg.learning_rate,
+                "pos_weight": pos_weight,
+                "epoch_time_sec": None,
+                "top_k": cfg.top_k, "batch_size": cfg.batch_size,
+            }
+
+            if val_manifest is not None:
+                val_loss, val_acc, scores, labels, speakers = \
+                    self.evaluate_with_scores(val_manifest)
+                eer, eer_thr = M.compute_eer(scores, labels)
+                macro = M.compute_macro_eer(scores, labels, speakers)
+                tdcf, tdcf_thr = M.compute_min_tdcf(
+                    scores, labels, cfg.asv_params_dict())
+                auc_val = self.writer.save_roc_det(scores, labels,
+                                                   epoch=epoch + 1)
+                is_best = self.writer.track_best(epoch + 1, val_loss, eer)
+                if is_best:
+                    self.save_models("best_model")
+                row.update(val_loss=val_loss, val_acc=val_acc, auc=auc_val,
+                           eer_percent=eer, macro_eer_percent=macro,
+                           eer_threshold=eer_thr,
+                           min_tDCF=tdcf if np.isfinite(tdcf) else None,
+                           min_tDCF_threshold=(tdcf_thr if np.isfinite(tdcf)
+                                               else None))
+                print(f"Epoch {epoch + 1}: Train Loss: {train_loss:.4f}, "
+                      f"Train Acc: {train_acc:.4f}, Val Loss: {val_loss:.4f}, "
+                      f"Val Acc: {val_acc:.4f} | AUC: {auc_val:.4f}, "
+                      f"EER: {eer:.2f}% (thr={eer_thr:.4f}), "
+                      f"Macro EER: {macro:.2f}%")
+            else:
+                print(f"Epoch {epoch + 1}: Train {train_loss:.4f}"
+                      f"/{train_acc:.4f}")
+
+            row["epoch_time_sec"] = time.time() - t_epoch
+            self.writer.add_row(row)
+            self.writer.plot_training_curves()
+            self.wandb.log({f"epoch/{k}": v for k, v in row.items()
+                            if v is not None})
+
+        self.save_models("final_model")
+        self.writer.save_summary()
+        self.wandb.finish()
+        return self.writer.rows[-1] if self.writer.rows else {}
+
+    # ------------------------------------------------------------------
+    def evaluate_with_scores(self, manifest: Manifest
+                             ) -> Tuple[float, float, np.ndarray, np.ndarray,
+                                        List[str]]:
+        """→ (val_loss, val_acc, spoof-logit scores, labels, speakers)
+        (pipeline.py:691-756)."""
+        cfg = self.config
+        self._ensure_model_state()
+        _, eval_step = self._steps()
+        enc_params = self.encoder.params
+        index_args = self._index_args()
+        pos_weight = manifest.pos_weight()
+
+        logit_chunks, label_chunks, valid_chunks = [], [], []
+        speakers: List[str] = []
+        for batch in iterate_batches(
+                manifest, cfg.eval_batch_size, sample_rate=cfg.sample_rate,
+                duration=cfg.clip_duration, shuffle=False,
+                prefetch=cfg.host_prefetch):
+            logits, _ = eval_step(self.variables, enc_params, index_args,
+                                  jnp.asarray(batch.audio),
+                                  jnp.asarray(batch.ids))
+            logit_chunks.append(logits)
+            label_chunks.append(batch.labels)
+            valid_chunks.append(batch.valid)
+            speakers.extend(batch.speakers[:batch.num_valid])
+
+        logits = np.asarray(jnp.concatenate(logit_chunks))  # one sync
+        labels = np.concatenate(label_chunks)
+        valid = np.concatenate(valid_chunks)
+        logits, labels = logits[valid], labels[valid]
+        losses = optim.pos_weighted_bce(
+            jnp.asarray(logits), jnp.asarray(labels), pos_weight)
+        val_loss = float(losses)
+        val_acc = float(np.mean((logits > 0) == (labels > 0.5)))
+        return (val_loss, val_acc, logits.astype(np.float64),
+                labels.astype(np.int32), speakers)
+
+    def evaluate(self, manifest: Manifest) -> Dict:
+        """Full evaluation with metrics + artifacts (pipeline.py:964-1036)."""
+        val_loss, val_acc, scores, labels, speakers = \
+            self.evaluate_with_scores(manifest)
+        eer, eer_thr = M.compute_eer(scores, labels)
+        macro = M.compute_macro_eer(scores, labels, speakers)
+        tdcf, tdcf_thr = M.compute_min_tdcf(scores, labels,
+                                            self.config.asv_params_dict())
+        auc_val = self.writer.save_roc_det(scores, labels, tag="eval")
+        results = {
+            "loss": val_loss, "accuracy": val_acc, "auc": auc_val,
+            "eer_percent": eer, "eer_threshold": eer_thr,
+            "macro_eer_percent": macro,
+            "min_tDCF": tdcf, "min_tDCF_threshold": tdcf_thr,
+            "num_samples": int(len(labels)),
+        }
+        self.writer.add_row({"epoch": "eval", "train_loss": None,
+                             "train_acc": None, "val_loss": val_loss,
+                             "val_acc": val_acc, "auc": auc_val,
+                             "eer_percent": eer,
+                             "macro_eer_percent": macro})
+        logger.info("Evaluation: %s", results)
+        return results
+
+    # ------------------------------------------------------------------
+    def predict(self, audio_path: str) -> Dict:
+        """Single-clip inference (pipeline.py:1038-1103). Returns the
+        reference's payload (prediction / probability_spoof / logit /
+        retrieved_*) plus ``probability`` — the key the reference web app
+        reads but predict never returned (app.py:340, a documented bug)."""
+        cfg = self.config
+        if self.index.ntotal == 0:
+            logger.warning("predict called with an empty vector DB")
+        self._ensure_model_state()
+        _, eval_step = self._steps()
+        wave = load_audio(audio_path, sample_rate=cfg.sample_rate,
+                          duration=cfg.clip_duration)
+        audio = jnp.asarray(wave[None])
+        tpp = self._embed(self.encoder.params, audio)
+        exclude = jnp.asarray([file_id(audio_path)], jnp.int32)
+        vectors, labels, ids = self._index_args()
+        metric = self.index.metric if self.index.metric != "IVF" else "L2"
+        neighbors, nlabels, dists, idx = retrieve_on_device(
+            tpp, vectors, labels, ids, exclude, k=cfg.top_k, metric=metric,
+            n_valid=self.index.ntotal)
+        # Fallback: if exclusion wiped every neighbor, retry without it
+        # (pipeline.py:1051-1054).
+        if float(jnp.sum(jnp.abs(neighbors))) == 0.0 and self.index.ntotal:
+            neighbors, nlabels, dists, idx = retrieve_on_device(
+                tpp, vectors, labels, ids,
+                jnp.full((1,), -2, jnp.int32), k=cfg.top_k, metric=metric,
+                n_valid=self.index.ntotal)
+        logits = self.model.apply(
+            self.variables, neighbors, tpp,
+            deterministic=True, use_running_average=True)
+        logit = float(np.asarray(logits).reshape(-1)[0])
+        prob_spoof = float(jax.nn.sigmoid(logit))
+        idx_np = np.asarray(idx)[0]
+        retrieved = []
+        for j, ii in enumerate(idx_np):
+            if ii < 0:
+                retrieved.append({"file": "", "path": "", "label": 0.0,
+                                  "distance": float("nan")})
+            else:
+                p = self.index.paths[int(ii)]
+                retrieved.append({
+                    "file": os.path.basename(p), "path": p,
+                    "label": float(np.asarray(nlabels)[0, j]),
+                    "distance": float(np.asarray(dists)[0, j]),
+                })
+        return {
+            "prediction": "spoof" if prob_spoof >= 0.5 else "bona-fide",
+            "probability_spoof": prob_spoof,
+            "probability": prob_spoof,
+            "logit": logit,
+            "retrieved_labels": [r["label"] for r in retrieved],
+            "retrieved_files": [r["file"] for r in retrieved],
+            "retrieved": retrieved,
+        }
+
+    # ------------------------------------------------------------------
+    def save_models(self, prefix: str) -> None:
+        self._ensure_model_state()
+        save_checkpoint(self.config.data_root, prefix, {
+            "params": self.variables,
+            "opt_state": self.opt_state,
+            "step": self.step,
+            "config_json": self.config.to_json(),
+        })
+
+    def load_models(self, prefix: str) -> bool:
+        state = load_checkpoint(self.config.data_root, prefix)
+        if state is None:
+            logger.warning("checkpoint %s not found under %s/models",
+                           prefix, self.config.data_root)
+            return False
+        self.variables = state["params"]
+        self.opt_state = state["opt_state"]
+        self.step = state["step"]
+        self._train_step = None
+        self._eval_step = None
+        return True
+
+    def load_vector_database(self) -> bool:
+        path = self.config.vector_db_path
+        if not os.path.exists(os.path.join(path, "index_meta.json")):
+            logger.warning("no saved vector DB at %s", path)
+            return False
+        self.index = FlatIndex.load(path, use_pallas=self.index.use_pallas)
+        self._train_step = None
+        self._eval_step = None
+        return True
+
+
+def print_dataset_statistics(manifests: Dict[str, Manifest]) -> None:
+    """Split-stats printer (pipeline.py:1136-1158)."""
+    for name, m in manifests.items():
+        counts = m.class_counts()
+        total = len(m)
+        bona_pct = 100.0 * counts["bonafide"] / max(total, 1)
+        print(f"{name.upper()} set — total {total}, spoof(1) "
+              f"{counts['spoof']}, bona-fide(0) {counts['bonafide']} "
+              f"({bona_pct:.2f}% bona-fide), speakers "
+              f"{len(set(m.speakers))}")

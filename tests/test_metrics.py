@@ -1,0 +1,104 @@
+"""Metric implementations vs sklearn / hand-computed oracles."""
+
+import numpy as np
+import pytest
+
+from radad_tpu.train import metrics as M
+
+
+def test_eer_perfect_separation():
+    scores = np.array([-5, -4, -3, 3, 4, 5], float)
+    labels = np.array([0, 0, 0, 1, 1, 1])
+    eer, thr = M.compute_eer(scores, labels)
+    assert eer == 0.0
+    assert -3 <= thr <= 3
+
+
+def test_eer_random_is_near_50(rng):
+    scores = rng.standard_normal(4000)
+    labels = (rng.random(4000) > 0.5).astype(int)
+    eer, _ = M.compute_eer(scores, labels)
+    assert 45 < eer < 55
+
+
+def test_eer_symmetry(rng):
+    """EER invariant under class flip + score negation (this is why our
+    spoof-positive convention matches the reference's numbers)."""
+    scores = rng.standard_normal(500) + (rng.random(500) > 0.6) * 1.5
+    labels = (rng.random(500) > 0.6).astype(int)
+    e1, _ = M.compute_eer(scores, labels)
+    e2, _ = M.compute_eer(-scores, 1 - labels)
+    assert abs(e1 - e2) < 1.0
+
+
+def test_roc_auc_matches_sklearn(rng):
+    from sklearn.metrics import roc_auc_score
+
+    scores = rng.standard_normal(300)
+    labels = (scores + rng.standard_normal(300) > 0).astype(int)
+    fpr, tpr, _ = M.roc_curve(scores, labels)
+    ours = M.auc(fpr, tpr)
+    theirs = roc_auc_score(labels, scores)
+    assert abs(ours - theirs) < 1e-9
+
+
+def test_eer_matches_sklearn_intersection(rng):
+    from sklearn.metrics import roc_curve as sk_roc
+
+    scores = rng.standard_normal(500) + (rng.random(500) > 0.5) * 1.0
+    labels = (rng.random(500) > 0.5).astype(int)
+    eer, _ = M.compute_eer(scores, labels)
+    fpr, tpr, _ = sk_roc(labels, scores)
+    fnr = 1 - tpr
+    idx = np.nanargmin(np.abs(fnr - fpr))
+    sk_eer = (fpr[idx] + fnr[idx]) / 2 * 100
+    assert abs(eer - sk_eer) < 1.0
+
+
+def test_macro_eer(rng):
+    # Two groups: one separable (EER 0), one random (~50) → macro ≈ 25
+    n = 400
+    s1 = np.r_[np.full(n, -2.0), np.full(n, 2.0)]
+    y1 = np.r_[np.zeros(n), np.ones(n)]
+    s2 = rng.standard_normal(2 * n)
+    y2 = (rng.random(2 * n) > 0.5).astype(float)
+    scores = np.r_[s1, s2]
+    labels = np.r_[y1, y2].astype(int)
+    groups = ["sep"] * (2 * n) + ["rand"] * (2 * n)
+    macro = M.compute_macro_eer(scores, labels, groups)
+    assert 15 < macro < 35
+    # group with one class only is skipped
+    macro2 = M.compute_macro_eer(
+        np.r_[scores, [1.0]], np.r_[labels, [1]], groups + ["solo"])
+    assert abs(macro - macro2) < 1e-9
+
+
+def test_min_tdcf():
+    asv = {"P_miss_asv": 0.05, "P_fa_asv": 0.01, "P_fa_spoof_asv": 0.99,
+           "C_miss_asv": 1.0, "C_fa_asv": 10.0, "C_miss_cm": 1.0,
+           "C_fa_cm": 10.0, "pi_tar": 0.01, "pi_non": 0.99, "pi_spoof": 0.05}
+    rng = np.random.default_rng(0)
+    labels = (rng.random(1000) > 0.5).astype(int)
+    # good CM: spoof scores higher
+    scores = labels * 2.0 + rng.standard_normal(1000) * 0.2
+    tdcf_good, _ = M.compute_min_tdcf(scores, labels, asv)
+    # useless CM
+    tdcf_bad, _ = M.compute_min_tdcf(rng.standard_normal(1000), labels, asv)
+    assert np.isfinite(tdcf_good) and np.isfinite(tdcf_bad)
+    assert tdcf_good < tdcf_bad
+    # unconfigured → NaN (reference behavior, BASELINE.md)
+    nan_val, _ = M.compute_min_tdcf(scores, labels, None)
+    assert np.isnan(nan_val)
+
+
+def test_det_curve_monotone(rng):
+    scores = rng.standard_normal(200) + (rng.random(200) > 0.5)
+    labels = (rng.random(200) > 0.5).astype(int)
+    x, y = M.det_curve(scores, labels)
+    assert np.all(np.isfinite(x)) and np.all(np.isfinite(y))
+
+
+def test_recall_at_k():
+    exact = np.array([[1, 2, 3, 4, 5], [6, 7, 8, 9, 10]])
+    got = np.array([[1, 2, 3, 99, 98], [6, 7, 8, 9, 10]])
+    assert M.recall_at_k(got, exact) == pytest.approx(0.8)

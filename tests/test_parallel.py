@@ -1,0 +1,152 @@
+"""Multi-chip paths on the 8-device virtual CPU mesh: sharded retrieval
+exactness vs the single-device scan, and the full parallel train step
+(replication invariants + numerical agreement with the single-chip step)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radad_tpu.parallel import (
+    ShardedIndex, make_mesh, make_parallel_train_step)
+
+
+@pytest.fixture(scope="module")
+def mesh24():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(data=2, index=4)
+
+
+def test_sharded_retrieve_matches_flat(mesh24, rng):
+    from radad_tpu.index.flat import FlatIndex
+
+    n, d, b, k = 333, 48, 16, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    labels = (rng.random(n) > 0.5).astype(np.float32)
+    paths = [f"f{i}.wav" for i in range(n)]
+    ids = np.arange(n, dtype=np.int32) % 61
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    excl = (np.arange(b) % 61).astype(np.int32)
+
+    flat = FlatIndex(d, "L2", use_pallas=False)
+    flat.add(vecs, labels, paths, ids=ids)
+    d_ref, i_ref = flat.search(q, k, exclude_ids=excl)
+
+    sharded = ShardedIndex(mesh24, d, "L2")
+    sharded.build(vecs, labels, ids, paths)
+    ret = sharded.retrieve(jnp.asarray(q), jnp.asarray(excl), k)
+    i_got = np.asarray(ret.indices)
+    d_got = np.asarray(ret.dists)
+    for row in range(b):
+        assert set(i_got[row]) == set(i_ref[row]), row
+    # distances agree (sorted, to tolerate tie order)
+    np.testing.assert_allclose(np.sort(d_got, 1), np.sort(d_ref, 1),
+                               rtol=1e-4, atol=1e-4)
+    # neighbor vectors are the actual stored rows
+    for row in range(3):
+        for j in range(k):
+            gi = i_got[row, j]
+            if gi >= 0:
+                np.testing.assert_allclose(
+                    np.asarray(ret.neighbors)[row, j], vecs[gi], rtol=1e-6)
+
+
+def test_sharded_retrieve_exclusion(mesh24, rng):
+    n, d, k = 64, 16, 3
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int32)
+    sharded = ShardedIndex(mesh24, d, "L2")
+    sharded.build(vecs, np.zeros(n, np.float32), ids)
+    q = jnp.asarray(vecs[:8])  # query with stored rows themselves
+    ret_plain = sharded.retrieve(q, jnp.full((8,), -2, jnp.int32), k)
+    assert all(np.asarray(ret_plain.indices)[i, 0] == i for i in range(8))
+    ret_excl = sharded.retrieve(q, jnp.asarray(ids[:8]), k)
+    for i in range(8):
+        assert i not in np.asarray(ret_excl.indices)[i]
+
+
+def test_parallel_train_step_matches_single_chip(mesh24, rng):
+    """One step on the mesh == one step on one device (same batch/params)."""
+    from radad_tpu.config import Config
+    from radad_tpu.models.fusion import build_radad_model
+    from radad_tpu.models.encoder import FrozenEncoder
+    from radad_tpu.models.wav2vec2 import Wav2Vec2Config, init_params
+    from radad_tpu.train import optim
+    from radad_tpu.train.pipeline import make_embed_fn, retrieve_on_device
+    import optax
+
+    acfg = Wav2Vec2Config(
+        hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=32, conv_dim=(8, 8), conv_kernel=(10, 8),
+        conv_stride=(8, 8), num_conv_pos_embeddings=8,
+        num_conv_pos_embedding_groups=2)
+    enc = FrozenEncoder(name="wav2vec2", model_name="tiny", arch_cfg=acfg,
+                        params=init_params(jax.random.PRNGKey(0), acfg),
+                        pretrained=False, layers_to_use=(-1,))
+    cfg = Config().replace(clip_duration=0.5, segment_length=0.25,
+                           segment_overlap=0.5, use_layer_norm=True,
+                           use_batch_norm=False, top_k=3)
+    dtpp = 7 * acfg.hidden_size
+    model = build_radad_model(cfg, tpp_dim=dtpp)
+    opt = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay)
+
+    b, n = 8, 40
+    audio = rng.standard_normal((b, cfg.clip_samples)).astype(np.float32)
+    labels = (rng.random(b) > 0.5).astype(np.float32)
+    excl = np.full((b,), -2, np.int32)
+    valid = np.ones((b,), bool)
+    embed = make_embed_fn(enc, cfg)
+    db_audio = rng.standard_normal((n, cfg.clip_samples)).astype(np.float32)
+    db_vecs = np.asarray(embed(enc.params, jnp.asarray(db_audio)))
+    db_labels = (rng.random(n) > 0.5).astype(np.float32)
+    db_ids = np.arange(n, dtype=np.int32)
+
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, cfg.top_k, dtpp)),
+                           jnp.zeros((1, dtpp)))
+    opt_state = opt.init(variables["params"])
+
+    # --- single-chip reference step (no dropout for determinism) ---
+    def single_step(variables, opt_state):
+        tpp = embed(enc.params, jnp.asarray(audio))
+        neigh, nlabs, _, _ = retrieve_on_device(
+            tpp, jnp.asarray(db_vecs), jnp.asarray(db_labels),
+            jnp.asarray(db_ids), jnp.asarray(excl), k=cfg.top_k,
+            metric="L2", n_valid=n)
+
+        def loss_fn(params):
+            logits = model.apply({"params": params}, neigh, tpp,
+                                 deterministic=True)
+            return optim.pos_weighted_bce(logits, jnp.asarray(labels), 1.0,
+                                          jnp.asarray(valid))
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        updates, opt_state = opt.update(grads, opt_state,
+                                        variables["params"])
+        return optax.apply_updates(variables["params"], updates), loss
+
+    ref_params, ref_loss = jax.jit(single_step)(
+        jax.tree_util.tree_map(jnp.copy, variables),
+        jax.tree_util.tree_map(jnp.copy, opt_state))
+
+    # --- mesh step ---
+    model_det = build_radad_model(
+        cfg.replace(projection_dropout=0.0, detection_dropout=0.0),
+        tpp_dim=dtpp)
+    step = make_parallel_train_step(model_det, enc, cfg, opt, mesh24)
+    sharded = ShardedIndex(mesh24, dtpp, "L2")
+    sharded.build(db_vecs, db_labels, db_ids)
+    new_vars, _, metrics = step(
+        jax.tree_util.tree_map(jnp.copy, variables),
+        jax.tree_util.tree_map(jnp.copy, opt_state), enc.params,
+        (sharded.vectors, sharded.labels, sharded.ids, sharded.row_valid),
+        jnp.asarray(audio), jnp.asarray(labels), jnp.asarray(excl),
+        jnp.asarray(valid), 1.0, jax.random.PRNGKey(9))
+
+    assert abs(float(metrics["loss"]) - float(ref_loss)) < 1e-5
+    ref_flat = jax.tree_util.tree_leaves(ref_params)
+    got_flat = jax.tree_util.tree_leaves(new_vars["params"])
+    for a, b_ in zip(ref_flat, got_flat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)

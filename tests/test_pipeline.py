@@ -1,0 +1,121 @@
+"""End-to-end pipeline smoke tests on the synthetic dataset with a tiny
+(random-weight) encoder: DB build, training convergence signals, eval
+metrics, predict payload, checkpoint round-trip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radad_tpu.config import Config
+from radad_tpu.data.manifest import load_manifests
+
+
+@pytest.fixture(scope="module")
+def tiny_encoder():
+    from radad_tpu.models.encoder import FrozenEncoder
+    from radad_tpu.models.wav2vec2 import Wav2Vec2Config, init_params
+
+    cfg = Wav2Vec2Config(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, conv_dim=(16, 16, 16, 16),
+        conv_kernel=(10, 8, 4, 4), conv_stride=(5, 4, 4, 4),
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    return FrozenEncoder(
+        name="wav2vec2", model_name="tiny-random", arch_cfg=cfg,
+        params=params, pretrained=False, layers_to_use=(-2, -1))
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory, synthetic_dataset, tiny_encoder):
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    root = str(tmp_path_factory.mktemp("run"))
+    cfg = Config().replace(
+        data_root=root, train_data_path=synthetic_dataset,
+        vector_db_path=os.path.join(root, "vdb"),
+        batch_size=8, eval_batch_size=8, db_batch_size=8,
+        num_epochs=2, use_layer_norm=True, use_batch_norm=False,
+        learning_rate=3e-3)
+    splits = load_manifests(synthetic_dataset, train_split=cfg.train_split,
+                            seed=cfg.random_seed)
+    pipe = DetectionPipeline(cfg, encoder=tiny_encoder)
+    last_row = pipe.train(splits["train"], splits["val"])
+    return pipe, splits, last_row, root
+
+
+def test_train_produces_artifacts(trained):
+    pipe, splits, last_row, root = trained
+    assert pipe.index.ntotal == len(splits["train"])
+    assert os.path.exists(os.path.join(root, "metrics.csv"))
+    assert os.path.exists(os.path.join(root, "summary.json"))
+    assert os.path.exists(os.path.join(root, "training_curves.png"))
+    assert os.path.exists(os.path.join(root, "models", "final_model_radad.npz"))
+    assert np.isfinite(last_row["train_loss"])
+    assert last_row["avg_nnz_neighbor_rate"] > 0.9  # neighbors retrieved
+
+
+def test_evaluate_metrics(trained):
+    pipe, splits, _, _ = trained
+    results = pipe.evaluate(splits["val"])
+    assert 0 <= results["eer_percent"] <= 100
+    assert 0 <= results["auc"] <= 1
+    assert results["num_samples"] == len(splits["val"])
+    assert np.isnan(results["min_tDCF"])  # ASV params unset → NaN
+
+
+def test_predict_payload(trained):
+    pipe, splits, _, _ = trained
+    path = splits["val"].paths[0]
+    out = pipe.predict(path)
+    assert out["prediction"] in ("spoof", "bona-fide")
+    assert 0.0 <= out["probability_spoof"] <= 1.0
+    assert out["probability"] == out["probability_spoof"]
+    assert len(out["retrieved"]) == pipe.config.top_k
+    # self must be excluded: the query file never appears among neighbors
+    assert os.path.basename(path) not in out["retrieved_files"]
+    # neighbors come from the training set
+    train_files = set(splits["train"].basenames)
+    real = [f for f in out["retrieved_files"] if f]
+    assert all(f in train_files for f in real)
+
+
+def test_checkpoint_roundtrip(trained, tmp_path):
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    pipe, splits, _, root = trained
+    _, _, scores1, _, _ = pipe.evaluate_with_scores(splits["val"])
+
+    cfg = pipe.config
+    pipe2 = DetectionPipeline(cfg, encoder=pipe.encoder)
+    assert pipe2.load_models("final_model")
+    assert pipe2.load_vector_database()
+    _, _, scores2, _, _ = pipe2.evaluate_with_scores(splits["val"])
+    np.testing.assert_allclose(scores1, scores2, rtol=1e-5, atol=1e-6)
+
+
+def test_best_model_written(trained):
+    _, _, _, root = trained
+    # conscious fix of the reference gap: best_model IS written
+    assert os.path.exists(os.path.join(root, "models", "best_model_radad.npz"))
+
+
+def test_training_moves_loss(synthetic_dataset, tiny_encoder, tmp_path):
+    """More epochs on the separable synthetic data → loss clearly drops."""
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    root = str(tmp_path)
+    cfg = Config().replace(
+        data_root=root, train_data_path=synthetic_dataset,
+        vector_db_path=os.path.join(root, "vdb"),
+        batch_size=8, eval_batch_size=8, db_batch_size=8,
+        num_epochs=6, use_layer_norm=True, use_batch_norm=False,
+        learning_rate=5e-3)
+    splits = load_manifests(synthetic_dataset)
+    pipe = DetectionPipeline(cfg, encoder=tiny_encoder)
+    pipe.train(splits["train"], None)
+    losses = [r["train_loss"] for r in pipe.writer.rows]
+    assert losses[-1] < losses[0]
