@@ -42,7 +42,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from radad_tpu.ops import topk as T
+    from radad_tpu.index.flat import _search_device
     from radad_tpu.utils.benchmark import chain_time, warmup
 
     n, d, b, k = 25423, 5376, 256, 5
@@ -59,11 +59,11 @@ def main():
     xd.block_until_ready()
     warmup()
 
-    # Exactness gate: recall@5 vs numpy oracle must be 1.0.
+    # Exactness gate: recall@5 vs numpy oracle must be 1.0 (the two-stage
+    # fast-scan + exact-f32-rerank search in FlatIndex).
     idsd, excld = jnp.asarray(ids), jnp.asarray(excl)
     qd = jnp.asarray(q)
-    v, i_dev = T.flat_topk_reference(qd, xd, k, metric="L2", n_valid=n,
-                                     ids=idsd, exclude_ids=excld)
+    v, i_dev = _search_device(qd, xd, idsd, excld, k, metric="L2", n_valid=n)
     i_dev = np.asarray(i_dev)
     scores = -(np.sum(q ** 2, -1, keepdims=True) - 2 * q @ x.T
                + np.sum(x ** 2, -1)[None, :])
@@ -75,9 +75,9 @@ def main():
     print(f"# recall@5 vs oracle: {recall}", file=sys.stderr)
 
     def step(qs, xd, idsd, excld):
-        vals, _ = T.flat_topk_reference(qs, xd, k, metric="L2", n_valid=n,
-                                        ids=idsd, exclude_ids=excld)
-        return qs + 0.0 * jnp.sum(vals)
+        vals, _ = _search_device(qs, xd, idsd, excld, k, metric="L2",
+                                 n_valid=n)
+        return qs + 0.0 * jnp.sum(jnp.where(jnp.isfinite(vals), vals, 0.0))
 
     dt = chain_time(step, qd, n=16, consts=(xd, idsd, excld))
     qps = b / dt

@@ -1,0 +1,155 @@
+"""Command-line entry point: train / evaluate / predict.
+
+Counterpart of the reference's ``main.py`` with the same flag surface
+(``/root/reference/main.py:18-35``): ``--mode {train,evaluate,predict}``,
+``--data_fraction``, ``--model_prefix``, ``--audio_path``,
+``--feature_extractor``, ``--wandb`` — plus ``--data_path``/``--data_root``
+(the reference hardcodes Colab paths, config.py:23-26) and TPU-specific
+``--batch_size``/``--epochs``/``--index_type`` overrides.
+
+Conscious fixes of reference bugs, preserved behavior otherwise:
+  * predict prints P(spoof) AND P(bona-fide) — the reference crashes with a
+    KeyError reading ``probability_bonafide`` (main.py:100 vs
+    pipeline.py:1098);
+  * predict loads ``best_model`` with a fallback to ``final_model`` — the
+    reference expects best_model but never writes it (main.py:96); our
+    trainer writes both.
+
+Run: ``python -m radad_tpu.cli --mode train --data_path <dir>``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Audio Deepfake Detection (TPU)")
+    p.add_argument("--mode", type=str, required=True,
+                   choices=["train", "evaluate", "predict"],
+                   help="Operation mode")
+    p.add_argument("--data_fraction", type=float, default=1.0,
+                   help="Fraction of data to use (class-balanced subsample)")
+    p.add_argument("--model_prefix", type=str, default="final_model",
+                   help="Prefix for saved model files")
+    p.add_argument("--audio_path", type=str, default=None,
+                   help="Audio file for predict mode")
+    p.add_argument("--feature_extractor", type=str, default="wav2vec2",
+                   help="whisper, wavlm, or wav2vec2")
+    p.add_argument("--wandb", action="store_true",
+                   help="Enable Weights & Biases logging")
+    p.add_argument("--data_path", type=str, default=None,
+                   help="Directory containing meta.csv + audio files")
+    p.add_argument("--data_root", type=str, default=None,
+                   help="Output root for models/metrics/index")
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--eval_batch_size", type=int, default=256)
+    p.add_argument("--db_batch_size", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--index_type", type=str, default=None,
+                   help="L2, IP, COSINE, or IVF")
+    p.add_argument("--weights_dir", type=str, default=None,
+                   help="Directory with local HF checkpoints for encoders")
+    p.add_argument("--seed", type=int, default=None)
+    return p
+
+
+def config_from_args(args) -> "Config":
+    from radad_tpu.config import Config
+
+    cfg = Config()
+    over = dict(
+        data_fraction=args.data_fraction,
+        feature_extractor_type=args.feature_extractor.lower(),
+        usewandb=bool(args.wandb),
+        batch_size=args.batch_size,
+        eval_batch_size=args.eval_batch_size,
+        db_batch_size=args.db_batch_size,
+        # main.py:65-66 forces LayerNorm over BatchNorm for all runs
+        use_batch_norm=False,
+        use_layer_norm=True,
+    )
+    if args.data_path:
+        over.update(train_data_path=args.data_path,
+                    test_data_path=args.data_path)
+    if args.data_root:
+        import os
+
+        over.update(data_root=args.data_root,
+                    vector_db_path=os.path.join(args.data_root, "vector_db"))
+    if args.epochs is not None:
+        over["num_epochs"] = args.epochs
+    if args.top_k is not None:
+        over["top_k"] = args.top_k
+    if args.index_type is not None:
+        over["vector_db_index_type"] = args.index_type.upper()
+    if args.seed is not None:
+        over["random_seed"] = args.seed
+    return cfg.replace(**over)
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    import jax
+
+    logging.info("JAX devices: %s", jax.devices())
+
+    from radad_tpu.data.manifest import load_manifests
+    from radad_tpu.models.encoder import build_encoder
+    from radad_tpu.train.pipeline import (DetectionPipeline,
+                                          print_dataset_statistics)
+
+    encoder = build_encoder(cfg, weights_dir=args.weights_dir)
+    pipeline = DetectionPipeline(cfg, encoder=encoder)
+
+    if args.mode == "train":
+        splits = load_manifests(
+            cfg.train_data_path, data_fraction=cfg.data_fraction,
+            train_split=cfg.train_split, seed=cfg.random_seed)
+        print_dataset_statistics(splits)
+        pipeline.train(splits["train"], splits["val"])
+
+    elif args.mode == "evaluate":
+        if not pipeline.load_models(args.model_prefix):
+            return 1
+        if not pipeline.load_vector_database():
+            return 1
+        splits = load_manifests(
+            cfg.test_data_path, data_fraction=cfg.data_fraction,
+            train_split=cfg.train_split, seed=cfg.random_seed)
+        results = pipeline.evaluate(splits["val"])
+        print("Evaluation metrics:")
+        for key, value in results.items():
+            print(f"{key}: {value}")
+
+    elif args.mode == "predict":
+        if not args.audio_path:
+            raise ValueError("Audio path must be provided for predict mode")
+        prefix = args.model_prefix if args.model_prefix != "final_model" \
+            else "best_model"
+        if not pipeline.load_models(prefix):
+            logging.info("falling back to final_model checkpoint")
+            if not pipeline.load_models("final_model"):
+                return 1
+        if not pipeline.load_vector_database():
+            return 1
+        result = pipeline.predict(args.audio_path)
+        logging.info("Prediction  : %s", result["prediction"])
+        logging.info("Probability(spoof)     : %.4f",
+                     result["probability_spoof"])
+        logging.info("Probability(bona-fide) : %.4f",
+                     1.0 - result["probability_spoof"])
+        logging.info("Retrieved   : %s", result["retrieved_labels"])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
