@@ -92,6 +92,15 @@ class Config:
     usewandb: bool = False
 
     # --- TPU-native knobs (no reference counterpart) ---
+    # The encoder is frozen, so every clip's TPP embedding is a constant of
+    # the run; the reference still recomputes the full encoder forward every
+    # epoch for every batch (pipeline.py:794-796 — its dominant cost,
+    # SURVEY.md §3 hot loops). With this flag the pipeline embeds each
+    # manifest once, reuses the train-set embeddings as both the vector DB
+    # and the training queries, and caches eval-set embeddings across
+    # epochs. Numerically identical (same floats), orders of magnitude
+    # faster per epoch. Set False to force reference-style recompute.
+    cache_embeddings: bool = True
     compute_dtype: str = "bfloat16"  # encoder/matmul compute dtype on TPU
     param_dtype: str = "float32"
     index_shards: int = 1  # mesh size along the 'index' axis for the sharded DB

@@ -35,7 +35,7 @@ import numpy as np
 import optax
 
 from radad_tpu.config import Config
-from radad_tpu.data.loader import Batch, iterate_batches
+from radad_tpu.data.loader import iterate_batches
 from radad_tpu.data.manifest import Manifest, file_id, validate_no_leakage
 from radad_tpu.data.audio import load_audio
 from radad_tpu.index.flat import FlatIndex, _search_device
@@ -121,6 +121,8 @@ class DetectionPipeline:
         self._train_step = None  # built lazily (needs index capacity)
         self._eval_step = None
         self._rng = jax.random.PRNGKey(config.random_seed)
+        # frozen-encoder embedding cache: manifest fingerprint -> np [N, D]
+        self._embedding_cache: Dict[Tuple, np.ndarray] = {}
 
     # ------------------------------------------------------------------
     def _ensure_model_state(self):
@@ -135,31 +137,79 @@ class DetectionPipeline:
     def _index_args(self):
         return (self.index.vectors, self.index.labels, self.index.ids)
 
+    def _query_batches(self, manifest: Manifest, batch_size: int, *,
+                       shuffle: bool, seed: int = 0):
+        """Yield (tpp, labels, ids, valid) fixed-size device batches.
+
+        Cached mode slices the precomputed embedding matrix (5 MB/batch
+        upload); no-cache mode reproduces the reference's per-epoch audio
+        decode + encoder forward (pipeline.py:794-796)."""
+        cfg = self.config
+        if cfg.cache_embeddings:
+            emb = self.get_embeddings(manifest)
+            n = len(manifest)
+            order = np.arange(n)
+            if shuffle:
+                np.random.default_rng(seed).shuffle(order)
+            for i in range(0, n, batch_size):
+                chunk = order[i:i + batch_size]
+                pad = batch_size - len(chunk)
+                tpp = np.zeros((batch_size, emb.shape[1]), np.float32)
+                tpp[:len(chunk)] = emb[chunk]
+                labels = np.zeros((batch_size,), np.float32)
+                labels[:len(chunk)] = manifest.labels[chunk]
+                ids = np.full((batch_size,), -1, np.int32)
+                ids[:len(chunk)] = manifest.ids[chunk]
+                valid = np.zeros((batch_size,), bool)
+                valid[:len(chunk)] = True
+                yield (jnp.asarray(tpp), jnp.asarray(labels),
+                       jnp.asarray(ids), jnp.asarray(valid))
+        else:
+            for batch in iterate_batches(
+                    manifest, batch_size, sample_rate=cfg.sample_rate,
+                    duration=cfg.clip_duration, shuffle=shuffle, seed=seed,
+                    prefetch=cfg.host_prefetch):
+                tpp = self._embed(self.encoder.params,
+                                  jnp.asarray(batch.audio))
+                yield (tpp, jnp.asarray(batch.labels),
+                       jnp.asarray(batch.ids), jnp.asarray(batch.valid))
+
     # ------------------------------------------------------------------
+    def get_embeddings(self, manifest: Manifest) -> np.ndarray:
+        """TPP embeddings for every clip of a manifest, in manifest order.
+
+        The encoder is frozen, so these are constants of the run; they are
+        computed once and cached (config.cache_embeddings). The reference
+        recomputes them every epoch for every batch — its dominant cost
+        (SURVEY.md §3 hot loops)."""
+        cfg = self.config
+        key = (hash(manifest.paths), len(manifest))
+        if cfg.cache_embeddings and key in self._embedding_cache:
+            return self._embedding_cache[key]
+        chunks: List[np.ndarray] = []
+        for batch in iterate_batches(
+                manifest, cfg.db_batch_size, sample_rate=cfg.sample_rate,
+                duration=cfg.clip_duration, shuffle=False,
+                prefetch=cfg.host_prefetch):
+            tpp = self._embed(self.encoder.params, jnp.asarray(batch.audio))
+            chunks.append(np.asarray(tpp)[:batch.num_valid])
+        emb = np.concatenate(chunks, axis=0)
+        if cfg.cache_embeddings:
+            self._embedding_cache[key] = emb
+        return emb
+
     def build_vector_database(self, train_manifest: Manifest,
                               save: bool = True) -> None:
         """Embed the training set and install it as the reference DB
         (pipeline.py:416-447)."""
-        cfg = self.config
         logger.info("Building vector database from %d training clips",
                     len(train_manifest))
         t0 = time.time()
-        vec_chunks: List[np.ndarray] = []
-        paths: List[str] = []
-        labels: List[float] = []
-        speakers: List[dict] = []
-        for batch in iterate_batches(
-                train_manifest, cfg.db_batch_size,
-                sample_rate=cfg.sample_rate, duration=cfg.clip_duration,
-                shuffle=False, prefetch=cfg.host_prefetch):
-            tpp = self._embed(self.encoder.params, jnp.asarray(batch.audio))
-            nv = batch.num_valid
-            vec_chunks.append(np.asarray(tpp)[:nv])
-            paths.extend(batch.paths[:nv])
-            labels.extend(batch.labels[:nv].tolist())
-            speakers.extend({"speaker_id": s} for s in batch.speakers[:nv])
-        vectors = np.concatenate(vec_chunks, axis=0)
-        self.index.add(vectors, labels, paths, metadata=speakers)
+        vectors = self.get_embeddings(train_manifest)
+        speakers = [{"speaker_id": s} for s in train_manifest.speakers]
+        self.index.add(vectors, train_manifest.labels.tolist(),
+                       list(train_manifest.paths), metadata=speakers,
+                       ids=train_manifest.ids.tolist())
         if save:
             self.index.save(self.config.vector_db_path)
         logger.info("Vector DB built: %d vectors in %.1fs",
@@ -169,10 +219,13 @@ class DetectionPipeline:
 
     # ------------------------------------------------------------------
     def _build_steps(self):
-        """Compile train/eval steps against the current index capacity."""
+        """Compile train/eval steps against the current index capacity.
+
+        Steps take the query TPP embeddings directly — the frozen encoder
+        runs once per clip in ``get_embeddings`` (or per batch in
+        no-cache mode), not inside the gradient step."""
         cfg = self.config
         model = self.model
-        embed = make_embed_fn(self.encoder, cfg)
         metric = self.index.metric if self.index.metric != "IVF" else "L2"
         k = cfg.top_k
         n_valid = self.index.ntotal
@@ -193,21 +246,19 @@ class DetectionPipeline:
                 return out, {}
             return model.apply(variables, neighbors, tpp, **kwargs), {}
 
-        def common(enc_params, index_args, audio, exclude_ids):
-            tpp = embed(enc_params, audio)
+        def common(index_args, tpp, exclude_ids):
             vectors, labels, ids = index_args
             neighbors, nlabels, dists, idx = retrieve_on_device(
                 tpp, vectors, labels, ids, exclude_ids,
                 k=k, metric=metric, n_valid=n_valid)
             neighbors = jnp.nan_to_num(neighbors)  # pipeline.py:801-803
-            return tpp, neighbors, nlabels
+            return neighbors, nlabels
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
-        def train_step(variables, opt_state, acc, enc_params, index_args,
-                       audio, batch_labels, exclude_ids, valid, pos_weight,
+        def train_step(variables, opt_state, acc, index_args,
+                       tpp, batch_labels, exclude_ids, valid, pos_weight,
                        rng):
-            tpp, neighbors, _ = common(enc_params, index_args, audio,
-                                       exclude_ids)
+            neighbors, _ = common(index_args, tpp, exclude_ids)
 
             def loss_fn(params):
                 vs = {**variables, "params": params}
@@ -244,9 +295,8 @@ class DetectionPipeline:
             return new_vars, opt_state, acc
 
         @jax.jit
-        def eval_step(variables, enc_params, index_args, audio, exclude_ids):
-            tpp, neighbors, nlabels = common(enc_params, index_args, audio,
-                                             exclude_ids)
+        def eval_step(variables, index_args, tpp, exclude_ids):
+            neighbors, nlabels = common(index_args, tpp, exclude_ids)
             logits, _ = forward(variables, neighbors, tpp, train=False)
             return logits, nlabels
 
@@ -273,7 +323,6 @@ class DetectionPipeline:
         pos_weight = train_manifest.pos_weight()
         logger.info("Using pos_weight=%.3f for BCE", pos_weight)
         self.wandb.log({"config/pos_weight": pos_weight})
-        enc_params = self.encoder.params
         index_args = self._index_args()
 
         for epoch in range(cfg.num_epochs):
@@ -281,18 +330,13 @@ class DetectionPipeline:
             acc = {k: jnp.float32(0.0) for k in (
                 "loss_sum", "correct", "count", "nnz_sum", "gn_proj_sum",
                 "gn_fuse_sum", "gn_det_sum", "batches")}
-            for batch in iterate_batches(
-                    train_manifest, cfg.batch_size,
-                    sample_rate=cfg.sample_rate, duration=cfg.clip_duration,
-                    shuffle=True, seed=cfg.random_seed + epoch,
-                    prefetch=cfg.host_prefetch):
+            for tpp, labels, ids, valid in self._query_batches(
+                    train_manifest, cfg.batch_size, shuffle=True,
+                    seed=cfg.random_seed + epoch):
                 self._rng, step_rng = jax.random.split(self._rng)
                 self.variables, self.opt_state, acc = train_step(
-                    self.variables, self.opt_state, acc, enc_params,
-                    index_args,
-                    jnp.asarray(batch.audio), jnp.asarray(batch.labels),
-                    jnp.asarray(batch.ids), jnp.asarray(batch.valid),
-                    pos_weight, step_rng)
+                    self.variables, self.opt_state, acc, index_args,
+                    tpp, labels, ids, valid, pos_weight, step_rng)
                 self.step += 1
             accs = {k: float(v) for k, v in acc.items()}  # one epoch sync
             train_loss = accs["loss_sum"] / max(accs["count"], 1.0)
@@ -362,23 +406,17 @@ class DetectionPipeline:
         cfg = self.config
         self._ensure_model_state()
         _, eval_step = self._steps()
-        enc_params = self.encoder.params
         index_args = self._index_args()
         pos_weight = manifest.pos_weight()
 
         logit_chunks, label_chunks, valid_chunks = [], [], []
-        speakers: List[str] = []
-        for batch in iterate_batches(
-                manifest, cfg.eval_batch_size, sample_rate=cfg.sample_rate,
-                duration=cfg.clip_duration, shuffle=False,
-                prefetch=cfg.host_prefetch):
-            logits, _ = eval_step(self.variables, enc_params, index_args,
-                                  jnp.asarray(batch.audio),
-                                  jnp.asarray(batch.ids))
+        for tpp, blabels, bids, bvalid in self._query_batches(
+                manifest, cfg.eval_batch_size, shuffle=False):
+            logits, _ = eval_step(self.variables, index_args, tpp, bids)
             logit_chunks.append(logits)
-            label_chunks.append(batch.labels)
-            valid_chunks.append(batch.valid)
-            speakers.extend(batch.speakers[:batch.num_valid])
+            label_chunks.append(np.asarray(blabels))
+            valid_chunks.append(np.asarray(bvalid))
+        speakers = list(manifest.speakers)
 
         logits = np.asarray(jnp.concatenate(logit_chunks))  # one sync
         labels = np.concatenate(label_chunks)

@@ -119,3 +119,17 @@ def test_training_moves_loss(synthetic_dataset, tiny_encoder, tmp_path):
     pipe.train(splits["train"], None)
     losses = [r["train_loss"] for r in pipe.writer.rows]
     assert losses[-1] < losses[0]
+
+
+def test_cache_off_matches_cache_on(trained):
+    """cache_embeddings=False (reference-style per-epoch recompute) must
+    produce numerically identical eval scores."""
+    pipe, splits, _, _ = trained
+    _, _, s_cached, _, _ = pipe.evaluate_with_scores(splits["val"])
+    import dataclasses
+    pipe.config = pipe.config.replace(cache_embeddings=False)
+    try:
+        _, _, s_fresh, _, _ = pipe.evaluate_with_scores(splits["val"])
+    finally:
+        pipe.config = pipe.config.replace(cache_embeddings=True)
+    np.testing.assert_allclose(s_cached, s_fresh, rtol=1e-5, atol=1e-6)
