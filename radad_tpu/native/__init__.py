@@ -1,0 +1,82 @@
+"""ctypes bindings for the native C++ audio decode runtime.
+
+Builds ``libradad_audio.so`` on first import if the toolchain is available
+(g++ via the Makefile here); otherwise importing ``audio_native`` raises and
+``radad_tpu.data.audio`` silently stays on its pure-Python decoder. The C
+calls release the GIL, so the thread-pool loader decodes in parallel.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libradad_audio.so")
+
+
+def _build() -> None:
+    subprocess.run(["make", "-s", "-C", _DIR], check=True,
+                   stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+
+
+class _AudioNative:
+    def __init__(self):
+        if not os.path.exists(_SO):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        lib.radad_decode_fixed.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+            ctypes.c_int]
+        lib.radad_decode_fixed.restype = ctypes.c_int
+        lib.radad_decode_full.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int)]
+        lib.radad_decode_full.restype = ctypes.c_long
+        lib.radad_wav_duration.argtypes = [ctypes.c_char_p]
+        lib.radad_wav_duration.restype = ctypes.c_double
+        self._lib = lib
+
+    def decode(self, path: str):
+        """Full decode at native rate → (float32 samples, sample_rate).
+        Raises on failure so callers can fall back."""
+        cap = 1 << 22  # 4M samples (~262 s @ 16 kHz) first try
+        while True:
+            out = np.empty(cap, np.float32)
+            sr = ctypes.c_int(0)
+            n = self._lib.radad_decode_full(
+                path.encode(), out.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_float)), cap,
+                ctypes.byref(sr))
+            if n < 0:
+                raise ValueError(f"native decode failed for {path}")
+            if n <= cap:
+                return out[:n].copy(), int(sr.value)
+            cap = int(n)
+
+    def decode_fixed(self, path: str, target_len: int, target_sr: int):
+        """Decode+resample+pad/truncate in one native call → float32
+        [target_len]. Raises on failure."""
+        out = np.empty(target_len, np.float32)
+        rc = self._lib.radad_decode_fixed(
+            path.encode(), out.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)),
+            target_len, target_sr)
+        if rc != 0:
+            raise ValueError(f"native decode failed for {path}")
+        return out
+
+    def duration(self, path: str) -> float:
+        d = self._lib.radad_wav_duration(path.encode())
+        if d < 0:
+            raise ValueError(f"native probe failed for {path}")
+        return float(d)
+
+
+audio_native = _AudioNative()
