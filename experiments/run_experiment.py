@@ -1,0 +1,112 @@
+"""Experiment runner: the reference's Colab notebooks as a parameterized
+script.
+
+Each upstream notebook (``/root/reference/experiments/**``) embeds the
+main.py body with two modes selected by a ``pipeline_check`` flag (cell 3):
+a smoke run (data_fraction=0.01, 2 epochs) and the full run
+(data_fraction=1.0, 10 epochs, batch 256). This script reproduces exactly
+those configurations for any dataset/encoder pair and appends the headline
+numbers to ``experiments/results.jsonl``.
+
+Examples (datasets are external — point --data_path at a directory with
+meta.csv + audio, e.g. Release-In-The-Wild or FakeAVCeleb audio):
+
+  # smoke-check the plumbing (1% data, 2 epochs)
+  python experiments/run_experiment.py --data_path /data/itw \
+      --encoder wav2vec2 --pipeline_check
+
+  # full In-the-Wild wav2vec2 run (reference best: 16.72% EER, BASELINE.md)
+  python experiments/run_experiment.py --data_path /data/itw \
+      --encoder wav2vec2 --name ritw_wav2vec2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", required=True,
+                   help="dir with meta.csv + audio files")
+    p.add_argument("--encoder", default="wav2vec2",
+                   choices=["wav2vec2", "wavlm", "whisper"])
+    p.add_argument("--name", default=None, help="experiment name")
+    p.add_argument("--data_root", default=None, help="output root")
+    p.add_argument("--pipeline_check", action="store_true",
+                   help="smoke mode: data_fraction=0.01, 2 epochs")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--data_fraction", type=float, default=1.0)
+    p.add_argument("--weights_dir", default=None)
+    p.add_argument("--wandb", action="store_true")
+    args = p.parse_args()
+
+    name = args.name or (
+        f"{os.path.basename(args.data_path.rstrip('/'))}_{args.encoder}"
+        + ("_check" if args.pipeline_check else ""))
+    data_root = args.data_root or os.path.join("runs", name)
+
+    from radad_tpu.config import Config
+    from radad_tpu.data.manifest import load_manifests
+    from radad_tpu.models.encoder import build_encoder
+    from radad_tpu.train.pipeline import (DetectionPipeline,
+                                          print_dataset_statistics)
+
+    # Notebook cell-3 configuration (reference experiments)
+    data_fraction = 0.01 if args.pipeline_check else args.data_fraction
+    epochs = 2 if args.pipeline_check else args.epochs
+    cfg = Config().replace(
+        train_data_path=args.data_path, test_data_path=args.data_path,
+        data_root=data_root,
+        vector_db_path=os.path.join(data_root, "vector_db"),
+        feature_extractor_type=args.encoder,
+        data_fraction=data_fraction, num_epochs=epochs,
+        batch_size=args.batch_size, eval_batch_size=args.batch_size,
+        db_batch_size=64, use_batch_norm=False, use_layer_norm=True,
+        usewandb=args.wandb)
+
+    splits = load_manifests(
+        args.data_path, data_fraction=cfg.data_fraction,
+        train_split=cfg.train_split, seed=cfg.random_seed)
+    print_dataset_statistics(splits)
+
+    encoder = build_encoder(cfg, weights_dir=args.weights_dir)
+    if not encoder.pretrained:
+        logging.warning(
+            "RANDOM encoder weights — metric numbers will not match the "
+            "published baselines; place HF checkpoints under "
+            "%s/weights/<model-name>/", data_root)
+
+    pipe = DetectionPipeline(cfg, encoder=encoder)
+    t0 = time.time()
+    last = pipe.train(splits["train"], splits["val"])
+    wall = time.time() - t0
+
+    record = {
+        "name": name,
+        "encoder": args.encoder,
+        "pretrained_weights": encoder.pretrained,
+        "data_fraction": data_fraction,
+        "epochs": epochs,
+        "train_size": len(splits["train"]),
+        "val_size": len(splits["val"]),
+        "wall_time_sec": round(wall, 1),
+        "final": {k: last.get(k) for k in (
+            "eer_percent", "macro_eer_percent", "auc", "val_acc",
+            "val_loss", "epoch_time_sec")},
+        "best_by_eer": pipe.writer.best_by_eer,
+    }
+    os.makedirs("experiments", exist_ok=True)
+    with open(os.path.join("experiments", "results.jsonl"), "a") as f:
+        f.write(json.dumps(record) + "\n")
+    print(json.dumps(record, indent=2))
+
+
+if __name__ == "__main__":
+    main()
