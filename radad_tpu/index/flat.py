@@ -64,12 +64,18 @@ class FlatIndex:
 
     def __init__(self, dimension: int, metric: str = "L2", *,
                  nlist: int = 0, nprobe: int = 32,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 use_float16: bool = False):
         metric = metric.upper()
         if metric not in self.metric_kinds:
             raise ValueError(f"Unknown index metric: {metric}")
         self.dimension = int(dimension)
         self.metric = metric
+        # bf16 database storage — the TPU analogue of FAISS-GPU's
+        # GpuIndexFlatConfig.useFloat16 (vector_database.py:78-84): halves
+        # HBM traffic for the scan at the cost of bf16-rounded distances
+        # (neighbor order is exact w.r.t. the *stored* rounded vectors).
+        self.use_float16 = bool(use_float16)
         self.nlist = int(nlist)
         self.nprobe = int(nprobe)
         self.n = 0
@@ -123,8 +129,8 @@ class FlatIndex:
             ids = [file_id(p) for p in paths]
 
         old_host = (
-            np.asarray(self.vectors)[: self.n] if self.n else
-            np.zeros((0, self.dimension), np.float32))
+            np.asarray(self.vectors.astype(jnp.float32))[: self.n]
+            if self.n else np.zeros((0, self.dimension), np.float32))
         old_labels = (
             np.asarray(self.labels)[: self.n] if self.n else
             np.zeros((0,), np.float32))
@@ -148,7 +154,8 @@ class FlatIndex:
         vecs_p = np.pad(vecs, ((0, pad), (0, 0)))
         labels_p = np.pad(labels, (0, pad))
         ids_p = np.pad(ids, (0, pad), constant_values=-1)
-        self.vectors = jnp.asarray(vecs_p)
+        self.vectors = jnp.asarray(
+            vecs_p, jnp.bfloat16 if self.use_float16 else jnp.float32)
         self.labels = jnp.asarray(labels_p)
         self.ids = jnp.asarray(ids_p)
         if self.metric == "IVF" and self.n:
@@ -221,7 +228,7 @@ class FlatIndex:
         idx = jnp.asarray(indices, jnp.int32)
         safe = jnp.maximum(idx, 0)
         out = jnp.take(self.vectors, safe.reshape(-1), axis=0)
-        out = out.reshape(idx.shape + (self.dimension,))
+        out = out.reshape(idx.shape + (self.dimension,)).astype(jnp.float32)
         return np.asarray(
             jnp.where((idx >= 0)[..., None], out, 0.0))
 
@@ -237,7 +244,7 @@ class FlatIndex:
         vector_database.py:190-216)."""
         os.makedirs(directory, exist_ok=True)
         arrays = dict(
-            vectors=np.asarray(self.vectors)[: self.n],
+            vectors=np.asarray(self.vectors.astype(jnp.float32))[: self.n],
             labels=np.asarray(self.labels)[: self.n],
             ids=np.asarray(self.ids)[: self.n],
         )
@@ -245,7 +252,8 @@ class FlatIndex:
             arrays["centroids"] = np.asarray(self.centroids)
         np.savez(os.path.join(directory, "index_arrays.npz"), **arrays)
         meta = dict(dimension=self.dimension, metric=self.metric, n=self.n,
-                    nlist=self.nlist, nprobe=self.nprobe)
+                    nlist=self.nlist, nprobe=self.nprobe,
+                    use_float16=self.use_float16)
         with open(os.path.join(directory, "index_meta.json"), "w") as f:
             json.dump(meta, f)
         with open(os.path.join(directory, "index_host.pkl"), "wb") as f:
@@ -256,7 +264,8 @@ class FlatIndex:
         with open(os.path.join(directory, "index_meta.json")) as f:
             meta = json.load(f)
         idx = cls(meta["dimension"], meta["metric"], nlist=meta.get("nlist", 0),
-                  nprobe=meta.get("nprobe", 32), use_pallas=use_pallas)
+                  nprobe=meta.get("nprobe", 32), use_pallas=use_pallas,
+                  use_float16=meta.get("use_float16", False))
         data = np.load(os.path.join(directory, "index_arrays.npz"))
         with open(os.path.join(directory, "index_host.pkl"), "rb") as f:
             host = pickle.load(f)
@@ -315,12 +324,16 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
     # restores exact-f32 neighbor order: measured on v5e, the fast scan
     # alone flips ~0.4% of rank-5 neighbors on near-ties; with R = max(4k,
     # 32) overfetch the final top-k matches the f32 oracle exactly.
+    qm = q.astype(vectors.dtype)  # bf16 DB mode: scan in bf16, accumulate f32
+    qx = jax.lax.dot_general(
+        qm, vectors, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     if metric in ("IP", "COSINE"):
-        scores = q @ vectors.T
+        scores = qx
     else:  # L2 (and IVF over L2): negative squared distance
-        scores = -(jnp.sum(q ** 2, -1, keepdims=True)
-                   - 2.0 * q @ vectors.T
-                   + jnp.sum(vectors ** 2, -1)[None, :])
+        scores = -(jnp.sum(q ** 2, -1, keepdims=True) - 2.0 * qx
+                   + jnp.sum(jnp.square(vectors.astype(jnp.float32)),
+                             -1)[None, :])
 
     neg_inf = jnp.float32(-jnp.inf)
     mask = invalid_row[None, :] | excl
@@ -332,7 +345,8 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
     cand_scores, cand_idx = jax.lax.top_k(scores, r)  # [B, R]
 
     cand_vecs = jnp.take(vectors, cand_idx.reshape(-1), axis=0)
-    cand_vecs = cand_vecs.reshape(cand_idx.shape + (vectors.shape[-1],))
+    cand_vecs = cand_vecs.reshape(
+        cand_idx.shape + (vectors.shape[-1],)).astype(jnp.float32)
     hi = jax.lax.Precision.HIGHEST
     qc = jnp.einsum("bd,brd->br", q, cand_vecs, precision=hi)
     if metric in ("IP", "COSINE"):

@@ -109,7 +109,8 @@ class DetectionPipeline:
         metric = config.vector_db_index_type.upper()
         self.index = FlatIndex(
             self.tpp_dim, metric, nlist=config.vector_db_nlist,
-            nprobe=config.vector_db_nprobe, use_pallas=use_pallas)
+            nprobe=config.vector_db_nprobe, use_pallas=use_pallas,
+            use_float16=config.use_float16)
         self.writer = ArtifactWriter(config.data_root)
         self.wandb = WandbShim(config.usewandb)
         self.step = 0

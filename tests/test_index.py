@@ -153,3 +153,40 @@ def test_pallas_kernel_interpret_matches_xla(rng):
             np.asarray(v_ker), np.asarray(v_ref), rtol=1e-4, atol=1e-4)
         for row_ker, row_ref in zip(np.asarray(i_ker), np.asarray(i_ref)):
             assert set(row_ker) == set(row_ref)
+
+
+def test_float16_index_mode(rng):
+    """bf16 DB storage (FAISS-GPU useFloat16 parity): high recall vs the
+    exact f32 index, dtype preserved through persistence."""
+    import jax.numpy as jnp
+
+    x, labels, paths = make_db(rng, n=400, d=96)
+    q = rng.standard_normal((16, 96)).astype(np.float32)
+    exact = FlatIndex(96, "L2", use_pallas=False)
+    exact.add(x, labels, paths)
+    _, i_exact = exact.search(q, 5)
+    half = FlatIndex(96, "L2", use_pallas=False, use_float16=True)
+    half.add(x, labels, paths)
+    assert half.vectors.dtype == jnp.bfloat16
+    d_half, i_half = half.search(q, 5)
+    recall = np.mean([len(set(i_half[b]) & set(i_exact[b])) / 5
+                      for b in range(16)])
+    assert recall >= 0.9, recall
+    assert np.isfinite(d_half[:, 0]).all()
+    # reconstruct returns f32
+    rec = half.reconstruct_batch(i_half[:2])
+    assert rec.dtype == np.float32
+    np.testing.assert_allclose(rec[0, 0], x[i_half[0, 0]], rtol=1e-2)
+
+
+def test_float16_save_load(rng, tmp_path):
+    x, labels, paths = make_db(rng, n=50)
+    idx = FlatIndex(64, "L2", use_pallas=False, use_float16=True)
+    idx.add(x, labels, paths)
+    idx.save(str(tmp_path))
+    loaded = FlatIndex.load(str(tmp_path), use_pallas=False)
+    assert loaded.use_float16
+    q = rng.standard_normal((4, 64)).astype(np.float32)
+    _, i1 = idx.search(q, 5)
+    _, i2 = loaded.search(q, 5)
+    np.testing.assert_array_equal(i1, i2)

@@ -133,3 +133,29 @@ def test_cache_off_matches_cache_on(trained):
     finally:
         pipe.config = pipe.config.replace(cache_embeddings=True)
     np.testing.assert_allclose(s_cached, s_fresh, rtol=1e-5, atol=1e-6)
+
+
+def test_batch_norm_path(synthetic_dataset, tiny_encoder, tmp_path):
+    """BatchNorm detection head (reference default, config.py:82): the
+    batch_stats collection must thread through train/eval/checkpoint."""
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    root = str(tmp_path)
+    cfg = Config().replace(
+        data_root=root, train_data_path=synthetic_dataset,
+        vector_db_path=os.path.join(root, "vdb"),
+        batch_size=8, eval_batch_size=8, db_batch_size=8, num_epochs=2,
+        use_batch_norm=True, use_layer_norm=False)
+    splits = load_manifests(synthetic_dataset)
+    pipe = DetectionPipeline(cfg, encoder=tiny_encoder)
+    pipe.train(splits["train"], splits["val"])
+    assert "batch_stats" in pipe.variables
+    # running stats actually updated away from init
+    leaves = jax.tree_util.tree_leaves(pipe.variables["batch_stats"])
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+    out = pipe.predict(splits["val"].paths[0])
+    assert out["prediction"] in ("spoof", "bona-fide")
+    # checkpoint roundtrip preserves batch_stats
+    pipe2 = DetectionPipeline(cfg, encoder=tiny_encoder)
+    assert pipe2.load_models("final_model")
+    assert "batch_stats" in pipe2.variables
