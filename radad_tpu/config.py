@@ -50,6 +50,12 @@ class Config:
     whisper_model_name: str = "openai/whisper-base"
     wavlm_model_name: str = "microsoft/wavlm-base"
     wav2vec2_layers_to_use: Tuple[int, ...] = (-4, -3, -2, -1)
+    # Whisper pads every segment to 30 s before the mel transform (HF
+    # WhisperFeatureExtractor behavior the reference inherits,
+    # feature_extractor.py:94-99) — ~15x wasted encoder FLOPs on 2 s
+    # windows. None = run only the real frames (TPU-fast mode, different
+    # embeddings; opt-in).
+    whisper_pad_seconds: Optional[float] = 30.0
 
     # --- Temporal Pyramid Pooling (reference config.py:48-49) ---
     tpp_levels: Tuple[int, ...] = (1, 2, 4)

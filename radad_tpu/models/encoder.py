@@ -43,6 +43,7 @@ class FrozenEncoder:
     pretrained: bool  # False => random init fallback
     layers_to_use: tuple = (-4, -3, -2, -1)  # wav2vec2 only
     compute_dtype: Any = jnp.float32
+    whisper_pad_seconds: Any = 30.0  # None = trimmed fast mode
 
     @property
     def feature_dim(self) -> int:
@@ -70,7 +71,9 @@ class FrozenEncoder:
                 params, flat, self.arch_cfg, dtype=self.compute_dtype)
         elif self.name == "whisper":
             feats = whisper.extract_features(
-                params, flat, self.arch_cfg, dtype=self.compute_dtype)
+                params, flat, self.arch_cfg,
+                pad_to_seconds=self.whisper_pad_seconds,
+                dtype=self.compute_dtype)
         else:
             raise ValueError(f"unknown encoder: {self.name}")
         return feats.reshape(lead + feats.shape[1:])
@@ -147,4 +150,5 @@ def build_encoder(config, *, weights_dir: Optional[str] = None,
         name=kind, model_name=model_name, arch_cfg=arch_cfg, params=params,
         pretrained=pretrained,
         layers_to_use=tuple(config.wav2vec2_layers_to_use),
-        compute_dtype=dtype)
+        compute_dtype=dtype,
+        whisper_pad_seconds=getattr(config, "whisper_pad_seconds", 30.0))

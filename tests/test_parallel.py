@@ -145,8 +145,15 @@ def test_parallel_train_step_matches_single_chip(mesh24, rng):
         jnp.asarray(valid), 1.0, jax.random.PRNGKey(9))
 
     assert abs(float(metrics["loss"]) - float(ref_loss)) < 1e-5
+    # Post-Adam params: the first-step update is ~±lr regardless of grad
+    # magnitude (g/√(g²)), so epsilon-scale grad differences from psum
+    # accumulation order can shift an update by a few percent of lr where
+    # |g|≈eps. Compare with a step-relative absolute tolerance: 5% of lr
+    # still catches any real bug (missing psum → 100% of lr, double count →
+    # 2x) while tolerating reduction-order noise.
+    lr = cfg.learning_rate
     ref_flat = jax.tree_util.tree_leaves(ref_params)
     got_flat = jax.tree_util.tree_leaves(new_vars["params"])
     for a, b_ in zip(ref_flat, got_flat):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   rtol=2e-4, atol=2e-5)
+                                   rtol=0, atol=0.05 * lr)
