@@ -20,8 +20,8 @@ import dataclasses
 import glob
 import logging
 import os
-from functools import partial
-from typing import Any, Callable, Optional
+
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ TPU-native choices:
 
 from __future__ import annotations
 
-import dataclasses
+
 from typing import Optional
 
 import jax

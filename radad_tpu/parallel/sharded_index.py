@@ -18,7 +18,7 @@ shard_map over the 2-D mesh.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import NamedTuple, Optional, Tuple
 
 import jax

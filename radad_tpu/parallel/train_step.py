@@ -18,16 +18,15 @@ This module is exercised on virtual CPU meshes by tests and the driver's
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple
+
+
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from radad_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
+from radad_tpu.parallel.mesh import batch_sharding, replicated
 from radad_tpu.parallel.sharded_index import sharded_retrieve
 from radad_tpu.train import optim
 from radad_tpu.train.pipeline import make_embed_fn
