@@ -190,3 +190,47 @@ def test_float16_save_load(rng, tmp_path):
     _, i1 = idx.search(q, 5)
     _, i2 = loaded.search(q, 5)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_quantized_index_recall(rng):
+    """SQ8 int8 index: near-exact recall vs f32 on realistic embeddings,
+    exact self-exclusion, reconstruct dequantizes."""
+    from radad_tpu.index.quantized import QuantizedIndex
+
+    x, labels, paths = make_db(rng, n=400, d=96)
+    q = rng.standard_normal((16, 96)).astype(np.float32)
+    exact = FlatIndex(96, "L2", use_pallas=False)
+    exact.add(x, labels, paths)
+    _, i_exact = exact.search(q, 5)
+    sq = QuantizedIndex(96, "L2")
+    sq.add(x, labels, paths)
+    d_sq, i_sq = sq.search(q, 5)
+    recall = np.mean([len(set(i_sq[b]) & set(i_exact[b])) / 5
+                      for b in range(16)])
+    assert recall >= 0.9, recall
+    # distances close to true values
+    true_d = ((q[0] - x[i_sq[0, 0]]) ** 2).sum()
+    np.testing.assert_allclose(d_sq[0, 0], true_d, rtol=0.05)
+    # reconstruct ~ original
+    rec = sq.reconstruct_batch(i_sq[:1])
+    np.testing.assert_allclose(rec[0, 0], x[i_sq[0, 0]], atol=0.05)
+    # self-exclusion exact
+    from radad_tpu.data.manifest import file_id
+    excl = np.asarray([file_id(p) for p in paths[:8]], np.int32)
+    _, i_ex = sq.search(x[:8], 3, exclude_ids=excl)
+    for i in range(8):
+        assert i not in i_ex[i]
+
+
+def test_quantized_save_load(rng, tmp_path):
+    from radad_tpu.index.quantized import QuantizedIndex
+
+    x, labels, paths = make_db(rng, n=60)
+    sq = QuantizedIndex(64, "COSINE")
+    sq.add(x, labels, paths)
+    sq.save(str(tmp_path))
+    loaded = QuantizedIndex.load(str(tmp_path))
+    q = rng.standard_normal((4, 64)).astype(np.float32)
+    _, i1 = sq.search(q, 5)
+    _, i2 = loaded.search(q, 5)
+    np.testing.assert_array_equal(i1, i2)
