@@ -310,12 +310,14 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
             cells[None, :, None] == probe_cells[:, None, :], axis=-1)  # [B, cap]
 
     if use_pallas and metric != "IVF":
-        neg_dists, idx = topk_ops.flat_topk(
-            q, vectors, k,
-            metric=metric, n_valid=n_valid,
-            ids=ids, exclude_ids=exclude_ids)
-        dists = -neg_dists if not larger_better else neg_dists
-        return dists, idx.astype(jnp.int64)
+        # Fused kernel scan (bf16 MXU) over-fetches R candidates; the shared
+        # exact-f32 re-rank below restores f32 neighbor order.
+        r = min(max(4 * k, 32), cap)
+        cand_scores, cand_idx = topk_ops.flat_topk(
+            q, vectors, r, metric=metric, n_valid=n_valid,
+            ids=ids, exclude_ids=exclude_ids, fast_scan=True)
+        return _rerank_exact(q, vectors, cand_scores, cand_idx, k,
+                             larger_better)
 
     # XLA path, two-stage: (1) full scan at the hardware's fast matmul
     # precision (bf16 passes on TPU — bandwidth-bound, ~HBM speed-of-light)
@@ -343,13 +345,19 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
 
     r = min(max(4 * k, 32), cap)
     cand_scores, cand_idx = jax.lax.top_k(scores, r)  # [B, R]
+    return _rerank_exact(q, vectors, cand_scores, cand_idx, k, larger_better)
 
-    cand_vecs = jnp.take(vectors, cand_idx.reshape(-1), axis=0)
+
+def _rerank_exact(q, vectors, cand_scores, cand_idx, k, larger_better):
+    """Stage 2: exact-f32 (HIGHEST precision) re-rank of R candidates."""
+    neg_inf = jnp.float32(-jnp.inf)
+    safe_idx = jnp.maximum(cand_idx, 0)
+    cand_vecs = jnp.take(vectors, safe_idx.reshape(-1), axis=0)
     cand_vecs = cand_vecs.reshape(
         cand_idx.shape + (vectors.shape[-1],)).astype(jnp.float32)
     hi = jax.lax.Precision.HIGHEST
     qc = jnp.einsum("bd,brd->br", q, cand_vecs, precision=hi)
-    if metric in ("IP", "COSINE"):
+    if larger_better:
         exact = qc
     else:
         csq = jnp.einsum("brd,brd->br", cand_vecs, cand_vecs, precision=hi)

@@ -53,7 +53,8 @@ _CAND = 128  # candidate columns per tile (lane-aligned); k must be ≤ this
 def _topk_tile_kernel(q_ref, x_ref, ids_ref, excl_ref,
                       vals_ref, idx_ref,
                       acc_ref, xsq_ref, *,
-                      k: int, metric: str, n_valid: int, tile_n: int):
+                      k: int, metric: str, n_valid: int, tile_n: int,
+                      fast_scan: bool):
     i_nt = pl.program_id(0)
     i_dc = pl.program_id(1)
     n_dc = pl.num_programs(1)
@@ -65,12 +66,19 @@ def _topk_tile_kernel(q_ref, x_ref, ids_ref, excl_ref,
 
     q = q_ref[:]  # [B, DC]
     x = x_ref[:]  # [TN, DC]
-    # MXU: partial q·xᵀ for this feature chunk.
+    # MXU: partial q·xᵀ for this feature chunk. Inputs cast to bf16 with
+    # f32 accumulation — single-pass MXU like XLA's default-precision f32
+    # matmul (an f32 dot here lowers to the 3-pass bf16x3 algorithm, 3×
+    # slower). Callers needing f32-exact order re-rank the top candidates.
+    dot_dtype = jnp.bfloat16 if fast_scan else jnp.float32
     acc_ref[:] += jax.lax.dot_general(
-        q, x, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        q.astype(dot_dtype), x.astype(dot_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=None if fast_scan else jax.lax.Precision.HIGHEST)
     if metric == "L2":
-        xsq_ref[:] += jnp.sum(x * x, axis=1, keepdims=True).T  # [1, TN]
+        xf = x.astype(jnp.float32)
+        xsq_ref[:] += jnp.sum(xf * xf, axis=1, keepdims=True).T  # [1, TN]
 
     @pl.when(i_dc == n_dc - 1)
     def _():
@@ -86,14 +94,17 @@ def _topk_tile_kernel(q_ref, x_ref, ids_ref, excl_ref,
         excl = ids_ref[:].reshape(1, tile_n) == excl_ref[:]  # [B,TN] vs [B,1]
         scores = jnp.where(invalid | excl, NEG_INF, scores)
 
-        # k rounds of max+mask (k static and small), accumulated into
-        # lane-aligned [B, _CAND] candidate blocks (cols ≥ k stay -inf/-1).
+        # k rounds of max + first-match-column select (max/min reduces lower
+        # better on the VPU than argmax), accumulated into lane-aligned
+        # [B, _CAND] candidate blocks (cols ≥ k stay -inf/-1).
         out_col = jax.lax.broadcasted_iota(jnp.int32, (b, _CAND), 1)
         vals = jnp.full((b, _CAND), NEG_INF, jnp.float32)
         idxs = jnp.full((b, _CAND), -1, jnp.int32)
+        big = jnp.int32(tile_n)
         for j in range(k):
             best = jnp.max(scores, axis=1)  # [B]
-            best_idx = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [B]
+            at_best = scores >= best[:, None]  # ties collapse to first col
+            best_idx = jnp.min(jnp.where(at_best, col, big), axis=1)
             gidx = jnp.where(jnp.isfinite(best), i_nt * tile_n + best_idx, -1)
             vals = jnp.where(out_col == j, best[:, None], vals)
             idxs = jnp.where(out_col == j, gidx[:, None], idxs)
@@ -105,7 +116,8 @@ def _topk_tile_kernel(q_ref, x_ref, ids_ref, excl_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "n_valid", "tile_n", "chunk_d", "interpret"))
+    static_argnames=("k", "metric", "n_valid", "tile_n", "chunk_d",
+                     "interpret", "fast_scan"))
 def flat_topk(
     q: jnp.ndarray,
     vectors: jnp.ndarray,
@@ -118,6 +130,7 @@ def flat_topk(
     tile_n: int = 1024,
     chunk_d: int = 512,
     interpret: bool = False,
+    fast_scan: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused top-k scan: → (scores [B,k] larger-better, indices [B,k] i32).
 
@@ -158,7 +171,7 @@ def flat_topk(
 
     kernel = functools.partial(
         _topk_tile_kernel, k=k, metric=kernel_metric,
-        n_valid=n_valid, tile_n=tile_n)
+        n_valid=n_valid, tile_n=tile_n, fast_scan=fast_scan)
 
     vals, idx = pl.pallas_call(
         kernel,
