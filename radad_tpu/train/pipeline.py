@@ -187,14 +187,21 @@ class DetectionPipeline:
         key = (hash(manifest.paths), len(manifest))
         if cfg.cache_embeddings and key in self._embedding_cache:
             return self._embedding_cache[key]
-        chunks: List[np.ndarray] = []
+        # Accumulate DEVICE arrays and sync to host exactly once at the end:
+        # dispatch stays async, so host decode (thread pool) overlaps device
+        # embed, and there is one device→host transfer total instead of one
+        # per batch.
+        chunks: List[jnp.ndarray] = []
+        valids: List[np.ndarray] = []
         for batch in iterate_batches(
                 manifest, cfg.db_batch_size, sample_rate=cfg.sample_rate,
                 duration=cfg.clip_duration, shuffle=False,
                 prefetch=cfg.host_prefetch):
-            tpp = self._embed(self.encoder.params, jnp.asarray(batch.audio))
-            chunks.append(np.asarray(tpp)[:batch.num_valid])
-        emb = np.concatenate(chunks, axis=0)
+            chunks.append(
+                self._embed(self.encoder.params, jnp.asarray(batch.audio)))
+            valids.append(batch.valid)
+        emb = np.asarray(jnp.concatenate(chunks, axis=0))  # single sync
+        emb = emb[np.concatenate(valids)]
         if cfg.cache_embeddings:
             self._embedding_cache[key] = emb
         return emb
