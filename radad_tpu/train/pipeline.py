@@ -468,20 +468,25 @@ class DetectionPipeline:
         retrieved_*) plus ``probability`` — the key the reference web app
         reads but predict never returned (app.py:340, a documented bug)."""
         cfg = self.config
-        if self.index.ntotal == 0:
-            logger.warning("predict called with an empty vector DB")
         self._ensure_model_state()
-        _, eval_step = self._steps()
         wave = load_audio(audio_path, sample_rate=cfg.sample_rate,
                           duration=cfg.clip_duration)
         audio = jnp.asarray(wave[None])
         tpp = self._embed(self.encoder.params, audio)
         exclude = jnp.asarray([file_id(audio_path)], jnp.int32)
-        vectors, labels, ids = self._index_args()
-        metric = self.index.metric if self.index.metric != "IVF" else "L2"
-        neighbors, nlabels, dists, idx = retrieve_on_device(
-            tpp, vectors, labels, ids, exclude, k=cfg.top_k, metric=metric,
-            n_valid=self.index.ntotal)
+        if self.index.ntotal == 0:
+            # Empty DB → zero neighbors (pipeline.py:465-476 contract).
+            logger.warning("predict called with an empty vector DB")
+            neighbors = jnp.zeros((1, cfg.top_k, self.tpp_dim))
+            nlabels = jnp.zeros((1, cfg.top_k))
+            dists = jnp.full((1, cfg.top_k), jnp.nan)
+            idx = jnp.full((1, cfg.top_k), -1, jnp.int32)
+        else:
+            vectors, labels, ids = self._index_args()
+            metric = self.index.metric if self.index.metric != "IVF" else "L2"
+            neighbors, nlabels, dists, idx = retrieve_on_device(
+                tpp, vectors, labels, ids, exclude, k=cfg.top_k,
+                metric=metric, n_valid=self.index.ntotal)
         # Fallback: if exclusion wiped every neighbor, retry without it
         # (pipeline.py:1051-1054).
         if float(jnp.sum(jnp.abs(neighbors))) == 0.0 and self.index.ntotal:
