@@ -9,6 +9,10 @@ persistence round-trip. Runs on CPU in ~1 minute:
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import tempfile
 
 import numpy as np

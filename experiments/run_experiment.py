@@ -20,12 +20,15 @@ meta.csv + audio, e.g. Release-In-The-Wild or FakeAVCeleb audio):
       --encoder wav2vec2 --name ritw_wav2vec2
 """
 
-from __future__ import annotations
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import argparse
 import json
 import logging
-import os
 import time
 
 
