@@ -283,11 +283,18 @@ def _assign_cells(vectors: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("k", "metric", "n_valid", "nprobe", "use_pallas"))
+@partial(jax.jit, static_argnames=("k", "metric", "n_valid", "nprobe",
+                                   "use_pallas", "exact"))
 def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
-                   centroids=None, cells=None, nprobe=32, use_pallas=False):
+                   centroids=None, cells=None, nprobe=32, use_pallas=False,
+                   exact=True):
     """Fused score + mask + k-select. All shapes static; jit-cached per
-    (capacity, B, k, metric)."""
+    (capacity, B, k, metric).
+
+    ``exact=True`` adds the f32 re-rank stage (neighbor order exact vs an
+    f32 oracle, measured ~3 ms/batch at ITW scale); ``exact=False`` returns
+    the fast-scan result directly (~0.7 ms, ~0.996 recall@5 from TPU
+    fast-matmul rounding on near-ties — metric-equivalent for training)."""
     cap = vectors.shape[0]
     larger_better = metric in ("IP", "COSINE")
 
@@ -330,12 +337,13 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
     qx = jax.lax.dot_general(
         qm, vectors, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+    xsq = None
     if metric in ("IP", "COSINE"):
         scores = qx
     else:  # L2 (and IVF over L2): negative squared distance
+        xsq = jnp.sum(jnp.square(vectors.astype(jnp.float32)), -1)  # [cap]
         scores = -(jnp.sum(q ** 2, -1, keepdims=True) - 2.0 * qx
-                   + jnp.sum(jnp.square(vectors.astype(jnp.float32)),
-                             -1)[None, :])
+                   + xsq[None, :])
 
     neg_inf = jnp.float32(-jnp.inf)
     mask = invalid_row[None, :] | excl
@@ -343,13 +351,27 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
         mask = mask | ~probe_mask
     scores = jnp.where(mask, neg_inf, scores)
 
+    if not exact:
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+        valid = jnp.isfinite(top_scores)
+        dists = top_scores if larger_better else -top_scores
+        idx = jnp.where(valid, top_idx, -1).astype(jnp.int64)
+        dists = jnp.where(valid, dists,
+                          jnp.inf if not larger_better else -jnp.inf)
+        return dists, idx
+
     r = min(max(4 * k, 32), cap)
     cand_scores, cand_idx = jax.lax.top_k(scores, r)  # [B, R]
-    return _rerank_exact(q, vectors, cand_scores, cand_idx, k, larger_better)
+    return _rerank_exact(q, vectors, cand_scores, cand_idx, k, larger_better,
+                         xsq=xsq)
 
 
-def _rerank_exact(q, vectors, cand_scores, cand_idx, k, larger_better):
-    """Stage 2: exact-f32 (HIGHEST precision) re-rank of R candidates."""
+def _rerank_exact(q, vectors, cand_scores, cand_idx, k, larger_better,
+                  xsq=None):
+    """Stage 2: exact-f32 (HIGHEST precision) re-rank of R candidates.
+
+    ``xsq`` (precomputed exact f32 row norms) avoids re-deriving ‖x‖² from
+    the gathered candidate vectors."""
     neg_inf = jnp.float32(-jnp.inf)
     safe_idx = jnp.maximum(cand_idx, 0)
     cand_vecs = jnp.take(vectors, safe_idx.reshape(-1), axis=0)
@@ -360,7 +382,11 @@ def _rerank_exact(q, vectors, cand_scores, cand_idx, k, larger_better):
     if larger_better:
         exact = qc
     else:
-        csq = jnp.einsum("brd,brd->br", cand_vecs, cand_vecs, precision=hi)
+        if xsq is not None:
+            csq = jnp.take(xsq, safe_idx.reshape(-1)).reshape(cand_idx.shape)
+        else:
+            csq = jnp.einsum("brd,brd->br", cand_vecs, cand_vecs,
+                             precision=hi)
         qsq = jnp.einsum("bd,bd->b", q, q, precision=hi)[:, None]
         exact = -(qsq - 2.0 * qc + csq)
     exact = jnp.where(jnp.isfinite(cand_scores), exact, neg_inf)

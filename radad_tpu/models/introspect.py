@@ -119,6 +119,51 @@ def feature_importance(model, variables, neighbors, tpp) -> jnp.ndarray:
     return jnp.mean(jnp.abs(g), axis=0)
 
 
+def fuse_batch_norm(model, variables) -> dict:
+    """Fold BatchNorm running stats into the preceding Dense for inference
+    (detection_model.py:239-270's fuse_inference_model analogue).
+
+    For y = BN(xW + b):  W' = W·(γ/σ),  b' = (b − μ)·(γ/σ) + β, where
+    σ = √(var + ε). Returns new ``variables`` whose detection-model norms
+    are identity (scale=1, bias=0, stats zeroed) and whose Dense layers
+    absorb them — the eval-mode forward is numerically unchanged while
+    skipping the normalization work.
+    """
+    if "batch_stats" not in variables:
+        return variables
+    import copy
+
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    stats = variables["batch_stats"]
+    det_p = dict(params["detection_model"])
+    det_s = stats.get("detection_model", {})
+    eps = 1e-5
+    for norm_name, norm_stats in det_s.items():
+        # norm_i follows linear_i by construction (fusion.DetectionModel)
+        lin_name = norm_name.replace("norm_", "linear_")
+        gamma = det_p[norm_name]["scale"]
+        beta = det_p[norm_name]["bias"]
+        mu = norm_stats["mean"]
+        sigma = jnp.sqrt(norm_stats["var"] + eps)
+        factor = gamma / sigma
+        lin = dict(det_p[lin_name])
+        lin["kernel"] = lin["kernel"] * factor[None, :]
+        lin["bias"] = (lin["bias"] - mu) * factor + beta
+        det_p[lin_name] = lin
+        det_p[norm_name] = {"scale": jnp.ones_like(gamma),
+                            "bias": jnp.zeros_like(beta)}
+    # Identity BN: mean=0 and var=1-ε so that √(var+ε)=1 exactly
+    # (scale=1, bias=0 set above).
+    new_det_stats = {
+        name: {"mean": jnp.zeros_like(s["mean"]),
+               "var": jnp.full_like(s["var"], 1.0 - eps)}
+        for name, s in det_s.items()}
+    new_stats = {**stats, "detection_model": new_det_stats}
+    new_params = dict(params)
+    new_params["detection_model"] = det_p
+    return {**variables, "params": new_params, "batch_stats": new_stats}
+
+
 def predict_proba(model, variables, neighbors, tpp) -> jnp.ndarray:
     """σ(logit) → P(spoof) per clip (detection_model.py:148-156)."""
     logits = model.apply(variables, neighbors, tpp, deterministic=True,

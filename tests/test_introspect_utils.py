@@ -90,3 +90,27 @@ def test_debug_sanitize_and_checked():
     np.testing.assert_array_equal(np.asarray(run(jnp.ones(3))), 2.0)
     with pytest.raises(Exception, match="non-finite"):
         run(jnp.asarray([1.0, jnp.nan]))
+
+
+def test_fuse_batch_norm(rng):
+    """BN folding: eval-mode outputs identical before/after fusion."""
+    from radad_tpu.models.introspect import fuse_batch_norm
+
+    cfg = Config().replace(use_batch_norm=True, use_layer_norm=False)
+    d = 7 * 16
+    model = build_radad_model(cfg, tpp_dim=d)
+    neighbors = jnp.asarray(rng.standard_normal((4, 5, d)), jnp.float32)
+    tpp = jnp.asarray(rng.standard_normal((4, d)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), neighbors, tpp)
+    # give BN non-trivial running stats
+    import jax as _jax
+    variables = dict(variables)
+    variables["batch_stats"] = _jax.tree_util.tree_map(
+        lambda x: x + 0.3 if x.ndim else x, variables["batch_stats"])
+    before = model.apply(variables, neighbors, tpp, deterministic=True,
+                         use_running_average=True)
+    fused = fuse_batch_norm(model, variables)
+    after = model.apply(fused, neighbors, tpp, deterministic=True,
+                        use_running_average=True)
+    np.testing.assert_allclose(np.asarray(after), np.asarray(before),
+                               rtol=1e-4, atol=1e-5)
