@@ -84,6 +84,27 @@ bool parse_wav(const char* path, WavData* out) {
   out->samples.resize(frames);
   out->sample_rate = (int)rate;
 
+  // Fast vectorizable paths for the overwhelmingly common formats.
+  if (fmt == 1 && bits == 16 && channels == 1) {
+    const int16_t* s = reinterpret_cast<const int16_t*>(data);
+    float* dst = out->samples.data();
+    constexpr float kScale = 1.0f / 32768.0f;
+    for (size_t i = 0; i < frames; i++) dst[i] = s[i] * kScale;
+    return true;
+  }
+  if (fmt == 1 && bits == 16 && channels == 2) {
+    const int16_t* s = reinterpret_cast<const int16_t*>(data);
+    float* dst = out->samples.data();
+    constexpr float kScale = 0.5f / 32768.0f;
+    for (size_t i = 0; i < frames; i++)
+      dst[i] = ((float)s[2 * i] + (float)s[2 * i + 1]) * kScale;
+    return true;
+  }
+  if (fmt == 3 && bits == 32 && channels == 1) {
+    memcpy(out->samples.data(), data, frames * sizeof(float));
+    return true;
+  }
+
   const double inv_ch = 1.0 / channels;
   for (size_t i = 0; i < frames; i++) {
     double acc = 0.0;
