@@ -83,7 +83,11 @@ def make_parallel_train_step(model, encoder, config, opt, mesh: Mesh,
     bsh = batch_sharding(mesh)
     row = NamedSharding(mesh, P("index", None))
     vec = NamedSharding(mesh, P("index"))
-    in_shardings = (rep, rep, rep, (row, vec, vec, vec),
+    # enc_params sharding is None ("respect what the caller placed"): the
+    # caller may pass replicated params or TP-sharded params
+    # (parallel.tp.shard_encoder_params) — GSPMD partitions the encoder
+    # matmuls either way.
+    in_shardings = (rep, rep, None, (row, vec, vec, vec),
                     bsh, bsh, bsh, bsh, None, None)
     out_shardings = (rep, rep, rep)
     return jax.jit(step, in_shardings=in_shardings,

@@ -157,3 +157,37 @@ def test_parallel_train_step_matches_single_chip(mesh24, rng):
     for a, b_ in zip(ref_flat, got_flat):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=0, atol=0.05 * lr)
+
+
+def test_tp_sharded_encoder_matches_replicated(mesh24, rng):
+    """TP-sharded encoder params (GSPMD annotations) produce the same
+    embeddings as the replicated encoder."""
+    import numpy as np
+    from radad_tpu.config import Config
+    from radad_tpu.models.encoder import FrozenEncoder
+    from radad_tpu.models.wav2vec2 import Wav2Vec2Config, init_params
+    from radad_tpu.parallel.tp import shard_encoder_params
+    from radad_tpu.parallel.mesh import batch_sharding
+    from radad_tpu.train.pipeline import make_embed_fn
+
+    acfg = Wav2Vec2Config(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, conv_dim=(16, 16), conv_kernel=(10, 8),
+        conv_stride=(8, 8), num_conv_pos_embeddings=8,
+        num_conv_pos_embedding_groups=2)
+    params = init_params(jax.random.PRNGKey(0), acfg)
+    enc = FrozenEncoder("wav2vec2", "tiny", acfg, params, False, (-2, -1))
+    cfg = Config().replace(clip_duration=1.0, segment_length=0.5,
+                           segment_overlap=0.5)
+    embed = jax.jit(make_embed_fn(enc, cfg))
+
+    audio = rng.standard_normal((8, cfg.clip_samples)).astype(np.float32)
+    ref = np.asarray(embed(params, jnp.asarray(audio)))
+
+    tp_params = shard_encoder_params(params, mesh24)
+    # check something actually got sharded across 'index'
+    w1 = tp_params["layers"]["ffn"]["w1"]
+    assert "index" in str(w1.sharding.spec)
+    audio_sharded = jax.device_put(audio, batch_sharding(mesh24))
+    got = np.asarray(embed(tp_params, audio_sharded))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-5)
