@@ -3,13 +3,13 @@
 The reference persists only a bare ``state_dict`` of the fusion model
 (``/root/reference/pipeline.py:1112-1134``) — no optimizer state, no epoch
 counter, no mid-training resume (SURVEY.md §5). This module fixes that:
-a checkpoint is {params, opt_state, step, config_json}, written with orbax
-when available and an npz+pickle fallback otherwise, so training resumes
-exactly.
+a checkpoint is {params, opt_state, step, config_json} written as
+npz + a json sidecar (treedef + metadata), so training resumes exactly.
+The model is ~6M params; a flat npz is simpler and more portable than an
+orbax directory tree at this scale, and loads anywhere numpy does.
 
-Layout: ``<data_root>/models/<prefix>_radad/`` (orbax directory) or
-``<prefix>_radad.npz`` (fallback) — mirroring the reference's
-``<data_root>/models/{prefix}_radad.pt`` naming.
+Layout: ``<data_root>/models/<prefix>_radad.npz`` — mirroring the
+reference's ``<data_root>/models/{prefix}_radad.pt`` naming.
 """
 
 from __future__ import annotations

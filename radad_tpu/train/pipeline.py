@@ -462,15 +462,31 @@ class DetectionPipeline:
         return results
 
     # ------------------------------------------------------------------
-    def predict(self, audio_path: str) -> Dict:
+    def predict(self, audio_path: str,
+                max_duration: Optional[float] = None) -> Dict:
         """Single-clip inference (pipeline.py:1038-1103). Returns the
         reference's payload (prediction / probability_spoof / logit /
         retrieved_*) plus ``probability`` — the key the reference web app
-        reads but predict never returned (app.py:340, a documented bug)."""
+        reads but predict never returned (app.py:340, a documented bug).
+
+        ``max_duration``: the reference hard-truncates every clip to 3 s
+        (dataset.py:143). Passing a value here lifts that limit: the clip
+        is analyzed up to ``max_duration`` seconds, windowed into however
+        many segments fit, and segment TPP vectors are mean-pooled exactly
+        as in training. Lengths are bucketed to multiples of the 3 s clip
+        so jit retraces stay bounded."""
         cfg = self.config
         self._ensure_model_state()
-        wave = load_audio(audio_path, sample_rate=cfg.sample_rate,
-                          duration=cfg.clip_duration)
+        if max_duration is None:
+            wave = load_audio(audio_path, sample_rate=cfg.sample_rate,
+                              duration=cfg.clip_duration)
+        else:
+            wave = load_audio(audio_path, sample_rate=cfg.sample_rate,
+                              duration=max_duration, pad=False)
+            # bucket to a multiple of the training clip length (min 1 clip)
+            bucket = cfg.clip_samples
+            target = max(bucket, ((len(wave) + bucket - 1) // bucket) * bucket)
+            wave = np.pad(wave, (0, target - len(wave)))
         audio = jnp.asarray(wave[None])
         tpp = self._embed(self.encoder.params, audio)
         exclude = jnp.asarray([file_id(audio_path)], jnp.int32)

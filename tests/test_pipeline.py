@@ -159,3 +159,20 @@ def test_batch_norm_path(synthetic_dataset, tiny_encoder, tmp_path):
     pipe2 = DetectionPipeline(cfg, encoder=tiny_encoder)
     assert pipe2.load_models("final_model")
     assert "batch_stats" in pipe2.variables
+
+
+def test_predict_long_audio(trained, tmp_path):
+    """max_duration lifts the reference's 3s truncation: a 10s clip is
+    windowed into more segments and still yields a valid prediction."""
+    from radad_tpu.data.audio import write_wav
+
+    pipe, splits, _, _ = trained
+    t = np.arange(16000 * 10) / 16000
+    w = (0.4 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    path = str(tmp_path / "long.wav")
+    write_wav(path, w, 16000)
+    out_short = pipe.predict(path)  # 3s parity mode
+    out_long = pipe.predict(path, max_duration=12.0)
+    for out in (out_short, out_long):
+        assert out["prediction"] in ("spoof", "bona-fide")
+        assert 0 <= out["probability_spoof"] <= 1
