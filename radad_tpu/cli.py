@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Prefix for saved model files")
     p.add_argument("--audio_path", type=str, default=None,
                    help="Audio file for predict mode")
+    p.add_argument("--max_duration", type=float, default=None,
+                   help="Predict mode: analyze up to this many seconds "
+                        "instead of the reference's 3 s truncation")
     p.add_argument("--feature_extractor", type=str, default="wav2vec2",
                    help="whisper, wavlm, or wav2vec2")
     p.add_argument("--wandb", action="store_true",
@@ -141,7 +144,8 @@ def main(argv=None) -> int:
                 return 1
         if not pipeline.load_vector_database():
             return 1
-        result = pipeline.predict(args.audio_path)
+        result = pipeline.predict(args.audio_path,
+                                  max_duration=args.max_duration)
         logging.info("Prediction  : %s", result["prediction"])
         logging.info("Probability(spoof)     : %.4f",
                      result["probability_spoof"])
