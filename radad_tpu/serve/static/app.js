@@ -12,6 +12,9 @@ let mediaRecorder = null;
 let recChunks = [];
 
 const $ = (sel) => document.querySelector(sel);
+const esc = (s) =>
+  String(s).replace(/[&<>"']/g, (c) =>
+    ({ "&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;", "'": "&#39;" }[c]));
 
 async function loadDbInfo() {
   try {
@@ -47,11 +50,11 @@ function renderCatalog() {
       if (selectedFile === it.file) tr.classList.add("selected");
       tr.innerHTML = `
         <td><input type="radio" name="sel" ${selectedFile === it.file ? "checked" : ""}></td>
-        <td>${it.file}</td>
-        <td>${it.speaker}</td>
-        <td><span class="label ${it.label === "spoof" ? "spoof" : "bona"}">${it.label}</span></td>
-        <td>${it.duration}</td>
-        <td><button class="play" data-url="${it.url}">▶</button></td>`;
+        <td>${esc(it.file)}</td>
+        <td>${esc(it.speaker)}</td>
+        <td><span class="label ${it.label === "spoof" ? "spoof" : "bona"}">${esc(it.label)}</span></td>
+        <td>${esc(it.duration)}</td>
+        <td><button class="play" data-url="${esc(it.url)}">▶</button></td>`;
       tr.addEventListener("click", () => {
         selectedFile = it.file;
         renderCatalog();
@@ -147,10 +150,10 @@ function renderResult(d) {
     const tr = document.createElement("tr");
     const dist = n.distance == null ? "—" : n.distance.toFixed(3);
     tr.innerHTML = `
-      <td>${n.file}</td><td>${n.speaker}</td>
-      <td><span class="label ${n.label === "spoof" ? "spoof" : "bona"}">${n.label}</span></td>
-      <td>${n.duration}</td><td>${dist}</td>
-      <td>${n.url ? `<button class="play" data-url="${n.url}">▶</button>` : ""}</td>`;
+      <td>${esc(n.file)}</td><td>${esc(n.speaker)}</td>
+      <td><span class="label ${n.label === "spoof" ? "spoof" : "bona"}">${esc(n.label)}</span></td>
+      <td>${esc(n.duration)}</td><td>${esc(dist)}</td>
+      <td>${n.url ? `<button class="play" data-url="${esc(n.url)}">▶</button>` : ""}</td>`;
     const btn = tr.querySelector(".play");
     if (btn) btn.addEventListener("click", () => playUrl(n.url));
     tbody.appendChild(tr);
