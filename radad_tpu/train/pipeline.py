@@ -100,7 +100,13 @@ class DetectionPipeline:
     """Orchestrator wiring encoder → TPP → index → fusion model."""
 
     def __init__(self, config: Config, *, encoder: Optional[FrozenEncoder] = None,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with ('data', 'index')
+        axes (see radad_tpu.parallel.make_mesh). When given, batches shard
+        over 'data', the vector DB rows shard over 'index' (retrieval runs
+        the shard_map all-gather merge), and the trainables replicate with
+        an XLA-inserted grad all-reduce — the whole pipeline becomes
+        SPMD without any other code change."""
         self.config = config
         self.encoder = encoder if encoder is not None else build_encoder(config)
         self.tpp_dim = tpp_output_dim(config.tpp_levels,
@@ -111,6 +117,7 @@ class DetectionPipeline:
             self.tpp_dim, metric, nlist=config.vector_db_nlist,
             nprobe=config.vector_db_nprobe, use_pallas=use_pallas,
             use_float16=config.use_float16)
+        self.mesh = mesh
         self.writer = ArtifactWriter(config.data_root)
         self.wandb = WandbShim(config.usewandb)
         self.step = 0
@@ -124,6 +131,32 @@ class DetectionPipeline:
         self._rng = jax.random.PRNGKey(config.random_seed)
         # frozen-encoder embedding cache: manifest fingerprint -> np [N, D]
         self._embedding_cache: Dict[Tuple, np.ndarray] = {}
+
+    # ------------------------------------------------------------------
+    def _shard_batch(self, *arrays):
+        """Place per-batch arrays on the mesh 'data' axis (no-op without a
+        mesh)."""
+        if self.mesh is None:
+            return tuple(jnp.asarray(a) for a in arrays)
+        from radad_tpu.parallel.mesh import batch_sharding
+
+        bsh = batch_sharding(self.mesh)
+        return tuple(jax.device_put(np.asarray(a), bsh) for a in arrays)
+
+    def _place_index_on_mesh(self):
+        """Re-place the index arrays row-sharded over the mesh 'index'
+        axis. Capacity is already padded to a multiple of 1024, which every
+        reasonable index-axis size divides."""
+        if self.mesh is None or self.index.ntotal == 0:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from radad_tpu.parallel.mesh import INDEX_AXIS
+
+        row = NamedSharding(self.mesh, P(INDEX_AXIS, None))
+        vec = NamedSharding(self.mesh, P(INDEX_AXIS))
+        self.index.vectors = jax.device_put(self.index.vectors, row)
+        self.index.labels = jax.device_put(self.index.labels, vec)
+        self.index.ids = jax.device_put(self.index.ids, vec)
 
     # ------------------------------------------------------------------
     def _ensure_model_state(self):
@@ -163,8 +196,7 @@ class DetectionPipeline:
                 ids[:len(chunk)] = manifest.ids[chunk]
                 valid = np.zeros((batch_size,), bool)
                 valid[:len(chunk)] = True
-                yield (jnp.asarray(tpp), jnp.asarray(labels),
-                       jnp.asarray(ids), jnp.asarray(valid))
+                yield self._shard_batch(tpp, labels, ids, valid)
         else:
             for batch in iterate_batches(
                     manifest, batch_size, sample_rate=cfg.sample_rate,
@@ -172,8 +204,8 @@ class DetectionPipeline:
                     prefetch=cfg.host_prefetch):
                 tpp = self._embed(self.encoder.params,
                                   jnp.asarray(batch.audio))
-                yield (tpp, jnp.asarray(batch.labels),
-                       jnp.asarray(batch.ids), jnp.asarray(batch.valid))
+                yield (tpp,) + self._shard_batch(
+                    batch.labels, batch.ids, batch.valid)
 
     # ------------------------------------------------------------------
     def get_embeddings(self, manifest: Manifest) -> np.ndarray:
@@ -222,6 +254,7 @@ class DetectionPipeline:
             self.index.save(self.config.vector_db_path)
         logger.info("Vector DB built: %d vectors in %.1fs",
                     self.index.ntotal, time.time() - t0)
+        self._place_index_on_mesh()
         self._train_step = None  # capacity changed → rebuild jit steps
         self._eval_step = None
 
@@ -254,15 +287,43 @@ class DetectionPipeline:
                 return out, {}
             return model.apply(variables, neighbors, tpp, **kwargs), {}
 
+        mesh = self.mesh
+
         def common(index_args, tpp, exclude_ids):
             vectors, labels, ids = index_args
+            if mesh is not None:
+                from radad_tpu.parallel.sharded_index import sharded_retrieve
+
+                ret = sharded_retrieve(
+                    mesh, tpp, vectors, labels, ids, ids >= 0, exclude_ids,
+                    k=k, metric=metric)
+                return jnp.nan_to_num(ret.neighbors), ret.labels
             neighbors, nlabels, dists, idx = retrieve_on_device(
                 tpp, vectors, labels, ids, exclude_ids,
                 k=k, metric=metric, n_valid=n_valid)
             neighbors = jnp.nan_to_num(neighbors)  # pipeline.py:801-803
             return neighbors, nlabels
 
-        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from radad_tpu.parallel.mesh import (DATA_AXIS, INDEX_AXIS)
+
+            rep = NamedSharding(mesh, P())
+            bsh = NamedSharding(mesh, P(DATA_AXIS))
+            row = NamedSharding(mesh, P(INDEX_AXIS, None))
+            vec = NamedSharding(mesh, P(INDEX_AXIS))
+            train_shardings = dict(
+                in_shardings=(rep, rep, rep, (row, vec, vec),
+                              bsh, bsh, bsh, bsh, None, None),
+                out_shardings=(rep, rep, rep))
+            eval_shardings = dict(
+                in_shardings=(rep, (row, vec, vec), bsh, bsh),
+                out_shardings=(bsh, bsh))
+        else:
+            train_shardings = {}
+            eval_shardings = {}
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2), **train_shardings)
         def train_step(variables, opt_state, acc, index_args,
                        tpp, batch_labels, exclude_ids, valid, pos_weight,
                        rng):
@@ -302,7 +363,7 @@ class DetectionPipeline:
             }
             return new_vars, opt_state, acc
 
-        @jax.jit
+        @partial(jax.jit, **eval_shardings)
         def eval_step(variables, index_args, tpp, exclude_ids):
             neighbors, nlabels = common(index_args, tpp, exclude_ids)
             logits, _ = forward(variables, neighbors, tpp, train=False)
@@ -567,6 +628,7 @@ class DetectionPipeline:
             logger.warning("no saved vector DB at %s", path)
             return False
         self.index = FlatIndex.load(path, use_pallas=self.index.use_pallas)
+        self._place_index_on_mesh()
         self._train_step = None
         self._eval_step = None
         return True

@@ -191,3 +191,53 @@ def test_tp_sharded_encoder_matches_replicated(mesh24, rng):
     audio_sharded = jax.device_put(audio, batch_sharding(mesh24))
     got = np.asarray(embed(tp_params, audio_sharded))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-5)
+
+
+def test_mesh_pipeline_matches_single_chip(mesh24, synthetic_dataset,
+                                           tmp_path_factory, rng):
+    """DetectionPipeline(mesh=...) — full SPMD mode — produces the same
+    eval scores as the single-chip pipeline given identical state, and
+    trains end-to-end."""
+    from radad_tpu.config import Config
+    from radad_tpu.data.manifest import load_manifests
+    from radad_tpu.models.encoder import FrozenEncoder
+    from radad_tpu.models.wav2vec2 import Wav2Vec2Config, init_params
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    acfg = Wav2Vec2Config(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, conv_dim=(16, 16, 16, 16),
+        conv_kernel=(10, 8, 4, 4), conv_stride=(5, 4, 4, 4),
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4)
+    enc = FrozenEncoder("wav2vec2", "tiny", acfg,
+                        init_params(jax.random.PRNGKey(0), acfg), False,
+                        (-2, -1))
+    splits = load_manifests(synthetic_dataset)
+
+    def make(root, mesh):
+        import os
+        cfg = Config().replace(
+            data_root=root, train_data_path=synthetic_dataset,
+            vector_db_path=os.path.join(root, "vdb"),
+            batch_size=8, eval_batch_size=8, db_batch_size=8, num_epochs=1,
+            use_layer_norm=True, use_batch_norm=False)
+        return DetectionPipeline(cfg, encoder=enc, mesh=mesh)
+
+    single = make(str(tmp_path_factory.mktemp("single")), None)
+    meshed = make(str(tmp_path_factory.mktemp("meshed")), mesh24)
+    single.build_vector_database(splits["train"], save=False)
+    meshed.build_vector_database(splits["train"], save=False)
+    single._ensure_model_state()
+    meshed.variables = jax.tree_util.tree_map(jnp.copy,
+                                              single._ensure_model_state()
+                                              or single.variables)
+    meshed.opt_state = meshed.opt.init(meshed.variables["params"])
+
+    _, _, s1, l1, _ = single.evaluate_with_scores(splits["val"])
+    _, _, s2, l2, _ = meshed.evaluate_with_scores(splits["val"])
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
+
+    # mesh training runs end-to-end
+    meshed.train(splits["train"], splits["val"])
+    assert np.isfinite(meshed.writer.rows[-1]["train_loss"])
