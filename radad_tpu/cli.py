@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weights_dir", type=str, default=None,
                    help="Directory with local HF checkpoints for encoders")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--data_shards", type=int, default=0,
+                   help="mesh 'data' axis size (0 = single device)")
+    p.add_argument("--index_shards", type=int, default=1,
+                   help="mesh 'index' axis size (DB row sharding)")
     return p
 
 
@@ -110,8 +114,15 @@ def main(argv=None) -> int:
     from radad_tpu.train.pipeline import (DetectionPipeline,
                                           print_dataset_statistics)
 
+    mesh = None
+    if args.data_shards:
+        from radad_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=args.data_shards, index=args.index_shards)
+        logging.info("mesh: %s", dict(mesh.shape))
+
     encoder = build_encoder(cfg, weights_dir=args.weights_dir)
-    pipeline = DetectionPipeline(cfg, encoder=encoder)
+    pipeline = DetectionPipeline(cfg, encoder=encoder, mesh=mesh)
 
     if args.mode == "train":
         splits = load_manifests(
