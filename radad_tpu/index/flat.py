@@ -204,7 +204,7 @@ class FlatIndex:
             metric=self.metric, n_valid=self.n,
             centroids=cents, cells=cells, nprobe=self.nprobe,
             use_pallas=self.use_pallas)
-        return np.asarray(dists), np.asarray(idx)
+        return np.asarray(dists), np.asarray(idx).astype(np.int64)
 
     def search_device(self, q: jnp.ndarray, k: int, *,
                       exclude_ids: Optional[jnp.ndarray] = None):
@@ -355,7 +355,7 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
         top_scores, top_idx = jax.lax.top_k(scores, k)
         valid = jnp.isfinite(top_scores)
         dists = top_scores if larger_better else -top_scores
-        idx = jnp.where(valid, top_idx, -1).astype(jnp.int64)
+        idx = jnp.where(valid, top_idx, -1).astype(jnp.int32)
         dists = jnp.where(valid, dists,
                           jnp.inf if not larger_better else -jnp.inf)
         return dists, idx
@@ -395,6 +395,6 @@ def _rerank_exact(q, vectors, cand_scores, cand_idx, k, larger_better,
     top_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
     valid = jnp.isfinite(top_scores)
     dists = top_scores if larger_better else -top_scores
-    idx = jnp.where(valid, top_idx, -1).astype(jnp.int64)
+    idx = jnp.where(valid, top_idx, -1).astype(jnp.int32)
     dists = jnp.where(valid, dists, jnp.inf if not larger_better else -jnp.inf)
     return dists, idx

@@ -51,6 +51,17 @@ from radad_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 logger = logging.getLogger(__name__)
 
 
+def _progress(iterable, total=None, desc=""):
+    """tqdm when available (the reference wraps every loop in tqdm,
+    pipeline.py:428,711,794); plain passthrough otherwise."""
+    try:
+        from tqdm import tqdm
+
+        return tqdm(iterable, total=total, desc=desc, leave=False)
+    except Exception:
+        return iterable
+
+
 def make_embed_fn(encoder: FrozenEncoder, config: Config):
     """Pure clip-embedding function: audio [B, clip] → TPP vectors [B, D].
 
@@ -225,10 +236,13 @@ class DetectionPipeline:
         # per batch.
         chunks: List[jnp.ndarray] = []
         valids: List[np.ndarray] = []
-        for batch in iterate_batches(
-                manifest, cfg.db_batch_size, sample_rate=cfg.sample_rate,
-                duration=cfg.clip_duration, shuffle=False,
-                prefetch=cfg.host_prefetch):
+        for batch in _progress(
+                iterate_batches(
+                    manifest, cfg.db_batch_size, sample_rate=cfg.sample_rate,
+                    duration=cfg.clip_duration, shuffle=False,
+                    prefetch=cfg.host_prefetch),
+                total=-(-len(manifest) // cfg.db_batch_size),
+                desc="Embedding"):
             chunks.append(
                 self._embed(self.encoder.params, jnp.asarray(batch.audio)))
             valids.append(batch.valid)
