@@ -93,7 +93,27 @@ def _sq8_search(q, v_codes, v_scale, v_norm_sq, ids, exclude_ids, k, *,
     ok = jnp.isfinite(top)
     dists = top if larger_better else -top
     dists = jnp.where(ok, dists, -jnp.inf if larger_better else jnp.inf)
-    return dists, jnp.where(ok, idx, -1)
+    neighbors = jnp.take_along_axis(cand, pos[..., None], axis=1)
+    neighbors = jnp.where(ok[..., None], neighbors, 0.0)
+    return dists, jnp.where(ok, idx, -1), neighbors
+
+
+def retrieve_on_device_sq8(tpp, codes, scales, norm_sq, labels, ids,
+                           exclude_ids, *, k, metric, n_valid):
+    """In-graph SQ8 retrieval with the same contract as
+    ``radad_tpu.train.pipeline.retrieve_on_device``: → (neighbors [B,k,D]
+    dequantized, labels [B,k], dists [B,k], idx [B,k])."""
+    q = tpp
+    if metric == "COSINE":
+        q = q / jnp.maximum(jnp.linalg.norm(q, -1, keepdims=True), 1e-12)
+    dists, idx, neighbors = _sq8_search(
+        q, codes, scales, norm_sq, ids, exclude_ids, k,
+        metric=metric, n_valid=n_valid)
+    safe = jnp.maximum(idx, 0)
+    nlabels = jnp.where(idx >= 0,
+                        jnp.take(labels, safe.reshape(-1)).reshape(idx.shape),
+                        0.0)
+    return neighbors, nlabels, dists, idx
 
 
 class QuantizedIndex:
@@ -165,9 +185,9 @@ class QuantizedIndex:
             exclude_ids = jnp.full((q.shape[0],), -2, jnp.int32)
         else:
             exclude_ids = jnp.asarray(exclude_ids, jnp.int32)
-        d, i = _sq8_search(q, self.codes, self.scales, self.norm_sq,
-                           self.ids, exclude_ids, k,
-                           metric=self.metric, n_valid=self.n)
+        d, i, _ = _sq8_search(q, self.codes, self.scales, self.norm_sq,
+                              self.ids, exclude_ids, k,
+                              metric=self.metric, n_valid=self.n)
         return np.asarray(d), np.asarray(i).astype(np.int64)
 
     def reconstruct_batch(self, indices) -> np.ndarray:

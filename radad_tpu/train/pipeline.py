@@ -124,10 +124,19 @@ class DetectionPipeline:
                                       self.encoder.feature_dim)
         self.model = build_radad_model(config, self.tpp_dim)
         metric = config.vector_db_index_type.upper()
-        self.index = FlatIndex(
-            self.tpp_dim, metric, nlist=config.vector_db_nlist,
-            nprobe=config.vector_db_nprobe, use_pallas=use_pallas,
-            use_float16=config.use_float16)
+        self.is_quantized = metric == "SQ8"
+        if self.is_quantized:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "SQ8 index + mesh sharding: not wired yet (NOTES.md)")
+            from radad_tpu.index.quantized import QuantizedIndex
+
+            self.index = QuantizedIndex(self.tpp_dim, "L2")
+        else:
+            self.index = FlatIndex(
+                self.tpp_dim, metric, nlist=config.vector_db_nlist,
+                nprobe=config.vector_db_nprobe, use_pallas=use_pallas,
+                use_float16=config.use_float16)
         self.mesh = mesh
         self.writer = ArtifactWriter(config.data_root)
         self.wandb = WandbShim(config.usewandb)
@@ -158,7 +167,7 @@ class DetectionPipeline:
         """Re-place the index arrays row-sharded over the mesh 'index'
         axis. Capacity is already padded to a multiple of 1024, which every
         reasonable index-axis size divides."""
-        if self.mesh is None or self.index.ntotal == 0:
+        if self.mesh is None or self.index.ntotal == 0 or self.is_quantized:
             return
         from jax.sharding import NamedSharding, PartitionSpec as P
         from radad_tpu.parallel.mesh import INDEX_AXIS
@@ -180,7 +189,23 @@ class DetectionPipeline:
         self.opt_state = self.opt.init(self.variables["params"])
 
     def _index_args(self):
+        if self.is_quantized:
+            return (self.index.codes, self.index.scales, self.index.norm_sq,
+                    self.index.labels, self.index.ids)
         return (self.index.vectors, self.index.labels, self.index.ids)
+
+    def _retrieve(self, index_args, tpp, exclude_ids, *, k, metric, n_valid):
+        """Dispatch in-graph retrieval by index kind."""
+        if self.is_quantized:
+            from radad_tpu.index.quantized import retrieve_on_device_sq8
+
+            codes, scales, norm_sq, labels, ids = index_args
+            return retrieve_on_device_sq8(
+                tpp, codes, scales, norm_sq, labels, ids, exclude_ids,
+                k=k, metric="L2", n_valid=n_valid)
+        vectors, labels, ids = index_args
+        return retrieve_on_device(tpp, vectors, labels, ids, exclude_ids,
+                                  k=k, metric=metric, n_valid=n_valid)
 
     def _query_batches(self, manifest: Manifest, batch_size: int, *,
                        shuffle: bool, seed: int = 0):
@@ -302,18 +327,19 @@ class DetectionPipeline:
             return model.apply(variables, neighbors, tpp, **kwargs), {}
 
         mesh = self.mesh
+        retrieve = self._retrieve
 
         def common(index_args, tpp, exclude_ids):
-            vectors, labels, ids = index_args
             if mesh is not None:
                 from radad_tpu.parallel.sharded_index import sharded_retrieve
 
+                vectors, labels, ids = index_args
                 ret = sharded_retrieve(
                     mesh, tpp, vectors, labels, ids, ids >= 0, exclude_ids,
                     k=k, metric=metric)
                 return jnp.nan_to_num(ret.neighbors), ret.labels
-            neighbors, nlabels, dists, idx = retrieve_on_device(
-                tpp, vectors, labels, ids, exclude_ids,
+            neighbors, nlabels, dists, idx = retrieve(
+                index_args, tpp, exclude_ids,
                 k=k, metric=metric, n_valid=n_valid)
             neighbors = jnp.nan_to_num(neighbors)  # pipeline.py:801-803
             return neighbors, nlabels
@@ -573,16 +599,15 @@ class DetectionPipeline:
             dists = jnp.full((1, cfg.top_k), jnp.nan)
             idx = jnp.full((1, cfg.top_k), -1, jnp.int32)
         else:
-            vectors, labels, ids = self._index_args()
             metric = self.index.metric if self.index.metric != "IVF" else "L2"
-            neighbors, nlabels, dists, idx = retrieve_on_device(
-                tpp, vectors, labels, ids, exclude, k=cfg.top_k,
+            neighbors, nlabels, dists, idx = self._retrieve(
+                self._index_args(), tpp, exclude, k=cfg.top_k,
                 metric=metric, n_valid=self.index.ntotal)
         # Fallback: if exclusion wiped every neighbor, retry without it
         # (pipeline.py:1051-1054).
         if float(jnp.sum(jnp.abs(neighbors))) == 0.0 and self.index.ntotal:
-            neighbors, nlabels, dists, idx = retrieve_on_device(
-                tpp, vectors, labels, ids,
+            neighbors, nlabels, dists, idx = self._retrieve(
+                self._index_args(), tpp,
                 jnp.full((1,), -2, jnp.int32), k=cfg.top_k, metric=metric,
                 n_valid=self.index.ntotal)
         logits = self.model.apply(
@@ -638,11 +663,20 @@ class DetectionPipeline:
 
     def load_vector_database(self) -> bool:
         path = self.config.vector_db_path
-        if not os.path.exists(os.path.join(path, "index_meta.json")):
-            logger.warning("no saved vector DB at %s", path)
-            return False
-        self.index = FlatIndex.load(path, use_pallas=self.index.use_pallas)
-        self._place_index_on_mesh()
+        if self.is_quantized:
+            from radad_tpu.index.quantized import QuantizedIndex
+
+            if not os.path.exists(os.path.join(path, "sq8_meta.json")):
+                logger.warning("no saved SQ8 vector DB at %s", path)
+                return False
+            self.index = QuantizedIndex.load(path)
+        else:
+            if not os.path.exists(os.path.join(path, "index_meta.json")):
+                logger.warning("no saved vector DB at %s", path)
+                return False
+            self.index = FlatIndex.load(path,
+                                        use_pallas=self.index.use_pallas)
+            self._place_index_on_mesh()
         self._train_step = None
         self._eval_step = None
         return True

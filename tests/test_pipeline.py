@@ -176,3 +176,32 @@ def test_predict_long_audio(trained, tmp_path):
     for out in (out_short, out_long):
         assert out["prediction"] in ("spoof", "bona-fide")
         assert 0 <= out["probability_spoof"] <= 1
+
+
+def test_sq8_pipeline(synthetic_dataset, tiny_encoder, tmp_path):
+    """vector_db_index_type='SQ8': train/eval/predict through the int8
+    index, with persistence."""
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    root = str(tmp_path)
+    cfg = Config().replace(
+        data_root=root, train_data_path=synthetic_dataset,
+        vector_db_path=os.path.join(root, "vdb"),
+        vector_db_index_type="SQ8",
+        batch_size=8, eval_batch_size=8, db_batch_size=8, num_epochs=2,
+        use_layer_norm=True, use_batch_norm=False)
+    splits = load_manifests(synthetic_dataset)
+    pipe = DetectionPipeline(cfg, encoder=tiny_encoder)
+    pipe.train(splits["train"], splits["val"])
+    res = pipe.evaluate(splits["val"])
+    assert np.isfinite(res["loss"])
+    out = pipe.predict(splits["val"].paths[0])
+    assert out["prediction"] in ("spoof", "bona-fide")
+    assert os.path.basename(splits["val"].paths[0]) \
+        not in out["retrieved_files"]
+    # persistence roundtrip
+    pipe2 = DetectionPipeline(cfg, encoder=tiny_encoder)
+    assert pipe2.load_models("final_model")
+    assert pipe2.load_vector_database()
+    out2 = pipe2.predict(splits["val"].paths[0])
+    assert abs(out2["logit"] - out["logit"]) < 1e-3
