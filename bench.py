@@ -78,8 +78,10 @@ def main():
     i_dev = np.asarray(i_dev)
     scores = -(np.sum(q_host ** 2, -1, keepdims=True) - 2 * q_host @ xs.T
                + np.sum(xs ** 2, -1)[None, :])
-    scores[(np.arange(n_small) % 997)[None, :]
-           == (np.arange(b) % 997)[:, None]] = -np.inf
+    # batch-global exclusion semantics (reference pipeline.py:461-463)
+    excluded_rows = np.isin(np.arange(n_small) % 997,
+                            np.arange(b) % 997)
+    scores[:, excluded_rows] = -np.inf
     oracle = np.argsort(-scores, axis=1)[:, :k]
     recall = np.mean([len(set(i_dev[r]) & set(oracle[r])) / k
                       for r in range(b)])

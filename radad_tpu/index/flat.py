@@ -221,6 +221,36 @@ class FlatIndex:
             centroids=cents, cells=cells, nprobe=self.nprobe,
             use_pallas=self.use_pallas)
 
+    def search_overfetch(self, queries, k: int,
+                         exclude_basenames=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Reference-parity retrieval: overfetch k+10, filter self-matches by
+        file basename on the host, truncate/pad to k — byte-for-byte the
+        semantics of pipeline.py:478-515. Exists for exactness tests against
+        the on-device masked search (which is the production path)."""
+        import os as _os
+
+        exclude = set(exclude_basenames or ())
+        k_search = k + (10 if exclude else 0)
+        k_search = min(k_search, max(self.n, 1))
+        dists, idxs = self.search(queries, k_search)
+        b = dists.shape[0]
+        out_d = np.full((b, k), np.inf, np.float32)
+        out_i = np.full((b, k), -1, np.int64)
+        for row in range(b):
+            kept = 0
+            for dd, ii in zip(dists[row], idxs[row]):
+                if ii < 0:
+                    continue
+                if exclude and _os.path.basename(
+                        self.paths[int(ii)]) in exclude:
+                    continue
+                out_d[row, kept] = dd
+                out_i[row, kept] = ii
+                kept += 1
+                if kept == k:
+                    break
+        return out_d, out_i
+
     def reconstruct_batch(self, indices) -> np.ndarray:
         """Fetch raw stored vectors by row index — a plain gather, replacing
         the reference's per-neighbor ``index.reconstruct(ii)`` Python loop
@@ -284,17 +314,28 @@ def _assign_cells(vectors: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "n_valid", "nprobe",
-                                   "use_pallas", "exact"))
+                                   "use_pallas", "exact", "exclude_mode"))
 def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
                    centroids=None, cells=None, nprobe=32, use_pallas=False,
-                   exact=True):
+                   exact=True, exclude_mode="batch"):
     """Fused score + mask + k-select. All shapes static; jit-cached per
     (capacity, B, k, metric).
 
     ``exact=True`` adds the f32 re-rank stage (neighbor order exact vs an
     f32 oracle, measured ~3 ms/batch at ITW scale); ``exact=False`` returns
     the fast-scan result directly (~0.7 ms, ~0.996 recall@5 from TPU
-    fast-matmul rounding on near-ties — metric-equivalent for training)."""
+    fast-matmul rounding on near-ties — metric-equivalent for training).
+
+    ``exclude_mode``: the reference builds ONE exclusion set from the whole
+    query batch's basenames and filters every row against it
+    (pipeline.py:461-463,494-501) — that is mode "batch" (default, parity).
+    Mode "self" excludes only each query's own id."""
+    if exclude_mode == "batch":
+        # Fold batch-global exclusion into the per-row machinery: rewrite
+        # every excluded DB row's id to a sentinel every query matches.
+        row_excl = jnp.any(ids[:, None] == exclude_ids[None, :], axis=1)
+        ids = jnp.where(row_excl, jnp.int32(-3), ids)
+        exclude_ids = jnp.full_like(exclude_ids, -3)
     cap = vectors.shape[0]
     larger_better = metric in ("IP", "COSINE")
 

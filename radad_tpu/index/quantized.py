@@ -67,7 +67,9 @@ def _sq8_search(q, v_codes, v_scale, v_norm_sq, ids, exclude_ids, k, *,
         scores = -(qsq - 2.0 * qx + v_norm_sq[None, :])
 
     row = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
-    mask = (row >= n_valid)[None, :] | (ids[None, :] == exclude_ids[:, None])
+    # batch-global exclusion (reference parity, pipeline.py:461-463)
+    row_excl = jnp.any(ids[:, None] == exclude_ids[None, :], axis=1)
+    mask = ((row >= n_valid) | row_excl)[None, :]
     scores = jnp.where(mask, -jnp.inf, scores)
 
     r = min(max(4 * k, 32), cap)

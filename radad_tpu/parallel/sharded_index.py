@@ -63,7 +63,12 @@ def sharded_retrieve(
         rows_per_shard = v_loc.shape[0]
         shard_i = jax.lax.axis_index(INDEX_AXIS)
         scores = _local_scores(q_loc, v_loc, metric)  # [b, rows]
-        mask = (~valid_loc)[None, :] | (ids_loc[None, :] == excl_loc[:, None])
+        # Reference parity: exclusion is batch-global (one set from every
+        # query's basename, pipeline.py:461-463) — gather the full batch's
+        # exclude ids across 'data' ([B] ints, trivial on ICI).
+        excl_all = jax.lax.all_gather(excl_loc, DATA_AXIS).reshape(-1)
+        row_excl = jnp.any(ids_loc[:, None] == excl_all[None, :], axis=1)
+        mask = ((~valid_loc) | row_excl)[None, :]
         scores = jnp.where(mask, -jnp.inf, scores)
         vals, loc_idx = jax.lax.top_k(scores, k)  # [b, k]
         gidx = shard_i * rows_per_shard + loc_idx

@@ -234,3 +234,21 @@ def test_quantized_save_load(rng, tmp_path):
     _, i1 = sq.search(q, 5)
     _, i2 = loaded.search(q, 5)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_overfetch_parity_mode(rng):
+    """The reference's overfetch-(k+10)-and-filter retrieval returns the
+    same neighbors as our on-device masked exclusion (pipeline.py:478-515
+    vs the exclude_ids mask)."""
+    from radad_tpu.data.manifest import file_id
+
+    x, labels, paths = make_db(rng, n=120)
+    idx = FlatIndex(64, "L2", use_pallas=False)
+    idx.add(x, labels, paths)
+    q = x[:12]
+    basenames = [paths[i] for i in range(12)]
+    excl_ids = np.asarray([file_id(p) for p in basenames], np.int32)
+    d_mask, i_mask = idx.search(q, 5, exclude_ids=excl_ids)
+    d_over, i_over = idx.search_overfetch(q, 5, exclude_basenames=basenames)
+    np.testing.assert_array_equal(i_mask, i_over)
+    np.testing.assert_allclose(d_mask, d_over, rtol=1e-5)

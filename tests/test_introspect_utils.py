@@ -128,3 +128,18 @@ def test_chain_time_sanity():
     # per-step delta of a tiny op can be ~0 (or slightly negative from
     # timer noise); only sanity-check the magnitude
     assert np.isfinite(dt) and abs(dt) < 1.0
+
+
+def test_profiler_trace(tmp_path):
+    """jax.profiler trace context writes a trace directory."""
+    import os
+    from radad_tpu.utils.profiling import trace, annotate
+
+    with trace(str(tmp_path)):
+        with annotate("toy"):
+            jnp.sum(jnp.ones((32, 32))).block_until_ready()
+    # a plugins/profile dir with at least one file appears
+    found = []
+    for root, _, files in os.walk(str(tmp_path)):
+        found.extend(files)
+    assert found, "no trace files written"
