@@ -124,3 +124,45 @@ def test_encoder_factory_random_fallback(tmp_path):
     feats = enc.segment_features(enc.params, segs)
     t = enc.frames_per_segment(4000)
     assert feats.shape == (1, 1, t, 768)
+
+
+def test_load_state_dict_file_roundtrip(tmp_path, rng):
+    """torch.save → hf_convert.load_state_dict → convert → same outputs
+    as converting the live model (the on-disk checkpoint path)."""
+    import jax.numpy as jnp
+    from radad_tpu.models.hf_convert import convert_wav2vec2, load_state_dict
+    from radad_tpu.models.wav2vec2 import encode
+
+    tm, cfg, params_live = tiny_w2v2_pair()
+    ckpt = str(tmp_path / "pytorch_model.bin")
+    torch.save(tm.state_dict(), ckpt)
+    sd = load_state_dict(ckpt)
+    params_disk = convert_wav2vec2(sd, cfg)
+    x = rng.standard_normal((1, 1600)).astype(np.float32)
+    a = np.asarray(encode(params_live, jnp.asarray(x), cfg))
+    b = np.asarray(encode(params_disk, jnp.asarray(x), cfg))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_build_encoder_finds_weights_dir(tmp_path, rng, monkeypatch):
+    """build_encoder resolves <weights_dir>/<model--name>/pytorch_model.bin
+    and reports pretrained=True."""
+    import radad_tpu.models.encoder as enc_mod
+    from radad_tpu.config import Config
+    from radad_tpu.models import wav2vec2 as W
+
+    tm, tiny_cfg, _ = tiny_w2v2_pair()
+    wdir = tmp_path / "weights" / "facebook--wav2vec2-base-960h"
+    wdir.mkdir(parents=True)
+    torch.save(tm.state_dict(), str(wdir / "pytorch_model.bin"))
+    # patch the registry's arch config so conversion matches the tiny ckpt
+    orig = enc_mod._REGISTRY["wav2vec2"]
+    enc_mod._REGISTRY["wav2vec2"] = (lambda: tiny_cfg, orig[1], orig[2])
+    try:
+        enc = enc_mod.build_encoder(
+            Config().replace(data_root=str(tmp_path)),
+            weights_dir=str(tmp_path / "weights"))
+        assert enc.pretrained
+        assert enc.feature_dim == tiny_cfg.hidden_size
+    finally:
+        enc_mod._REGISTRY["wav2vec2"] = orig
