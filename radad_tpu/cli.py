@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mesh 'data' axis size (0 = single device)")
     p.add_argument("--index_shards", type=int, default=1,
                    help="mesh 'index' axis size (DB row sharding)")
+    p.add_argument("--no_cache_embeddings", action="store_true",
+                   help="recompute encoder features every epoch "
+                        "(reference behavior; default caches them)")
+    p.add_argument("--use_float16", action="store_true",
+                   help="store the vector DB in bf16 (FAISS fp16 analogue)")
     return p
 
 
@@ -78,6 +83,8 @@ def config_from_args(args) -> "Config":
         # main.py:65-66 forces LayerNorm over BatchNorm for all runs
         use_batch_norm=False,
         use_layer_norm=True,
+        cache_embeddings=not args.no_cache_embeddings,
+        use_float16=args.use_float16,
     )
     if args.data_path:
         over.update(train_data_path=args.data_path,
