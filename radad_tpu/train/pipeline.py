@@ -451,18 +451,24 @@ class DetectionPipeline:
             train_loss = accs["loss_sum"] / max(accs["count"], 1.0)
             train_acc = accs["correct"] / max(accs["count"], 1.0)
 
+            # metrics.csv row with the reference's column set
+            # (pipeline.py:916-941; lr_* are equal — one optax transform
+            # reproduces the reference's three same-lr optimizers)
             row = {
                 "epoch": epoch + 1,
                 "train_loss": train_loss, "train_acc": train_acc,
                 "val_loss": None, "val_acc": None, "auc": None,
-                "eer_percent": None, "macro_eer_percent": None,
+                "eer_percent": None, "pooled_eer_percent": None,
+                "macro_eer_percent": None,
                 "eer_threshold": None, "min_tDCF": None,
                 "min_tDCF_threshold": None,
                 "avg_nnz_neighbor_rate": accs["nnz_sum"] / max(accs["batches"], 1),
                 "avg_grad_norm_projection": accs["gn_proj_sum"] / max(accs["batches"], 1),
                 "avg_grad_norm_fuse": accs["gn_fuse_sum"] / max(accs["batches"], 1),
                 "avg_grad_norm_detection": accs["gn_det_sum"] / max(accs["batches"], 1),
-                "lr": cfg.learning_rate,
+                "lr_projection": cfg.learning_rate,
+                "lr_fuse": cfg.learning_rate,
+                "lr_detection": cfg.learning_rate,
                 "pos_weight": pos_weight,
                 "epoch_time_sec": None,
                 "top_k": cfg.top_k, "batch_size": cfg.batch_size,
@@ -481,7 +487,8 @@ class DetectionPipeline:
                 if is_best:
                     self.save_models("best_model")
                 row.update(val_loss=val_loss, val_acc=val_acc, auc=auc_val,
-                           eer_percent=eer, macro_eer_percent=macro,
+                           eer_percent=eer, pooled_eer_percent=eer,
+                           macro_eer_percent=macro,
                            eer_threshold=eer_thr,
                            min_tDCF=tdcf if np.isfinite(tdcf) else None,
                            min_tDCF_threshold=(tdcf_thr if np.isfinite(tdcf)
