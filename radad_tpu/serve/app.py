@@ -44,6 +44,72 @@ STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
 TEMPLATE_DIR = os.path.join(os.path.dirname(__file__), "templates")
 
 
+class PredictBatcher:
+    """Micro-batching front for concurrent /api/predict requests.
+
+    The reference serves predictions strictly one-at-a-time (Flask dev
+    server + a single-clip predict). Here concurrent requests enqueue and a
+    worker coalesces them (up to ``max_batch``, lingering ``linger_ms`` for
+    stragglers) into ONE device call via ``pipeline.predict_batch`` —
+    batch sizes bucket to powers of two so jit compiles stay bounded.
+    """
+
+    BUCKETS = (1, 2, 4, 8, 16)
+
+    def __init__(self, pipeline, max_batch: int = 16,
+                 linger_ms: float = 20.0):
+        import queue as _queue
+
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.linger = linger_ms / 1000.0
+        self._q: "_queue.Queue" = _queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def predict(self, path: str) -> dict:
+        import concurrent.futures as _f
+
+        fut: "_f.Future" = _f.Future()
+        self._q.put((path, fut))
+        return fut.result(timeout=600)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.BUCKETS:
+            if n <= b:
+                return b
+        return self.BUCKETS[-1]
+
+    def _run(self):
+        import queue as _queue
+        import time as _time
+
+        while True:
+            path, fut = self._q.get()
+            batch = [(path, fut)]
+            deadline = _time.time() + self.linger
+            while len(batch) < self.max_batch:
+                remaining = deadline - _time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except _queue.Empty:
+                    break
+            paths = [p for p, _ in batch]
+            bucket = self._bucket(len(paths))
+            padded = paths + [paths[-1]] * (bucket - len(paths))
+            try:
+                results = self.pipeline.predict_batch(padded)
+                for (p, f), r in zip(batch, results):
+                    if not f.cancelled():
+                        f.set_result(r)
+            except Exception as e:  # pragma: no cover
+                for _, f in batch:
+                    if not f.cancelled():
+                        f.set_exception(e)
+
+
 class AppState:
     """Pipeline + catalog state shared across request threads."""
 
@@ -54,7 +120,8 @@ class AppState:
         self.audio_dir = audio_dir
         self.upload_dir = upload_dir
         os.makedirs(upload_dir, exist_ok=True)
-        self.lock = threading.Lock()  # single TPU: serialize predicts
+        self.batcher = (PredictBatcher(pipeline)
+                        if pipeline is not None else None)
         self._meta_rows = self._read_meta()
 
     # -------------------------------------------------- catalog
@@ -305,8 +372,7 @@ class Handler(BaseHTTPRequestHandler):
         try:
             usable = ensure_wav(src_path, st.upload_dir,
                                 st.config.sample_rate)
-            with st.lock:
-                result = st.pipeline.predict(usable)
+            result = st.batcher.predict(usable)
             neighbors = []
             for r in result.get("retrieved", []):
                 fname = os.path.basename(r.get("file") or r.get("path") or "")

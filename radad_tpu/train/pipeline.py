@@ -82,7 +82,7 @@ def make_embed_fn(encoder: FrozenEncoder, config: Config):
 
 
 def retrieve_on_device(tpp, vectors, labels, ids, exclude_ids, *, k, metric,
-                       n_valid):
+                       n_valid, exclude_mode="batch"):
     """In-graph retrieval: fused search + neighbor/label gather.
 
     Replaces the reference's overfetch-(k+10)-filter-reconstruct host loop
@@ -95,7 +95,7 @@ def retrieve_on_device(tpp, vectors, labels, ids, exclude_ids, *, k, metric,
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
     dists, idx = _search_device(
         q, vectors, ids, exclude_ids, k, metric=metric, n_valid=n_valid,
-        use_pallas=False)
+        use_pallas=False, exclude_mode=exclude_mode)
     safe = jnp.maximum(idx, 0).astype(jnp.int32)
     neighbors = jnp.take(vectors, safe.reshape(-1), axis=0)
     neighbors = neighbors.reshape(idx.shape + (vectors.shape[-1],))
@@ -194,7 +194,8 @@ class DetectionPipeline:
                     self.index.labels, self.index.ids)
         return (self.index.vectors, self.index.labels, self.index.ids)
 
-    def _retrieve(self, index_args, tpp, exclude_ids, *, k, metric, n_valid):
+    def _retrieve(self, index_args, tpp, exclude_ids, *, k, metric, n_valid,
+                  exclude_mode="batch"):
         """Dispatch in-graph retrieval by index kind."""
         if self.is_quantized:
             from radad_tpu.index.quantized import retrieve_on_device_sq8
@@ -205,7 +206,8 @@ class DetectionPipeline:
                 k=k, metric="L2", n_valid=n_valid)
         vectors, labels, ids = index_args
         return retrieve_on_device(tpp, vectors, labels, ids, exclude_ids,
-                                  k=k, metric=metric, n_valid=n_valid)
+                                  k=k, metric=metric, n_valid=n_valid,
+                                  exclude_mode=exclude_mode)
 
     def _query_batches(self, manifest: Manifest, batch_size: int, *,
                        shuffle: bool, seed: int = 0):
@@ -644,6 +646,64 @@ class DetectionPipeline:
             "retrieved_files": [r["file"] for r in retrieved],
             "retrieved": retrieved,
         }
+
+    def predict_batch(self, audio_paths: List[str]) -> List[Dict]:
+        """Batched predict: one device call for many clips (the reference
+        only exposes single-clip predict, pipeline.py:1038; its
+        detection_model.predict_batch_proba helper never reaches the CLI).
+        Returns one payload per path with the same keys as ``predict``."""
+        cfg = self.config
+        self._ensure_model_state()
+        waves = np.stack([
+            load_audio(p, sample_rate=cfg.sample_rate,
+                       duration=cfg.clip_duration) for p in audio_paths])
+        tpp = self._embed(self.encoder.params, jnp.asarray(waves))
+        exclude = jnp.asarray([file_id(p) for p in audio_paths], jnp.int32)
+        b = len(audio_paths)
+        if self.index.ntotal == 0:
+            neighbors = jnp.zeros((b, cfg.top_k, self.tpp_dim))
+            nlabels = jnp.zeros((b, cfg.top_k))
+            dists = jnp.full((b, cfg.top_k), jnp.nan)
+            idx = jnp.full((b, cfg.top_k), -1, jnp.int32)
+        else:
+            metric = self.index.metric if self.index.metric != "IVF" else "L2"
+            # independent requests must not exclude each other's files —
+            # per-row self exclusion here (training uses the reference's
+            # batch-global mode)
+            neighbors, nlabels, dists, idx = self._retrieve(
+                self._index_args(), tpp, exclude, k=cfg.top_k,
+                metric=metric, n_valid=self.index.ntotal,
+                exclude_mode="self")
+        logits = self.model.apply(self.variables, neighbors, tpp,
+                                  deterministic=True,
+                                  use_running_average=True)
+        logits_np = np.asarray(logits).reshape(-1)
+        idx_np = np.asarray(idx)
+        nlab_np = np.asarray(nlabels)
+        dist_np = np.asarray(dists)
+        out = []
+        for row, path in enumerate(audio_paths):
+            prob = float(jax.nn.sigmoid(logits_np[row]))
+            retrieved = []
+            for j, ii in enumerate(idx_np[row]):
+                if ii < 0:
+                    retrieved.append({"file": "", "path": "", "label": 0.0,
+                                      "distance": float("nan")})
+                else:
+                    p = self.index.paths[int(ii)]
+                    retrieved.append({
+                        "file": os.path.basename(p), "path": p,
+                        "label": float(nlab_np[row, j]),
+                        "distance": float(dist_np[row, j])})
+            out.append({
+                "prediction": "spoof" if prob >= 0.5 else "bona-fide",
+                "probability_spoof": prob, "probability": prob,
+                "logit": float(logits_np[row]),
+                "retrieved_labels": [r["label"] for r in retrieved],
+                "retrieved_files": [r["file"] for r in retrieved],
+                "retrieved": retrieved,
+            })
+        return out
 
     # ------------------------------------------------------------------
     def save_models(self, prefix: str) -> None:

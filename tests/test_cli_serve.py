@@ -180,3 +180,22 @@ def test_api_predict_no_input(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post_multipart(server + "/api/predict", {})
     assert e.value.code == 400
+
+
+def test_concurrent_predicts_batched(server, synthetic_dataset):
+    """Concurrent /api/predict requests coalesce through the micro-batcher
+    and all return correct, independent payloads."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    files = [f"clip_{i:03d}.wav" for i in range(6)]
+
+    def hit(fname):
+        return fname, _post_multipart(
+            server + "/api/predict", {"filename": ("", fname.encode())})
+
+    with ThreadPoolExecutor(6) as pool:
+        results = list(pool.map(hit, files))
+    for fname, (status, d) in results:
+        assert status == 200 and d["ok"], (fname, d)
+        assert d["prediction"] in ("spoof", "bona-fide")
+        assert all(n["file"] != fname for n in d["neighbors"])

@@ -205,3 +205,19 @@ def test_sq8_pipeline(synthetic_dataset, tiny_encoder, tmp_path):
     assert pipe2.load_vector_database()
     out2 = pipe2.predict(splits["val"].paths[0])
     assert abs(out2["logit"] - out["logit"]) < 1e-3
+
+
+def test_predict_batch(trained):
+    """predict_batch == per-clip predict for every clip."""
+    pipe, splits, _, _ = trained
+    paths = list(splits["val"].paths[:4])
+    batch_out = pipe.predict_batch(paths)
+    assert len(batch_out) == 4
+    for path, out in zip(paths, batch_out):
+        single = pipe.predict(path)
+        assert out["prediction"] == single["prediction"]
+        assert abs(out["probability_spoof"]
+                   - single["probability_spoof"]) < 1e-4
+        assert out["retrieved_files"] == single["retrieved_files"]
+        # self-exclusion per row
+        assert os.path.basename(path) not in out["retrieved_files"]
