@@ -37,9 +37,15 @@ class ShardedRetrieval(NamedTuple):
 
 
 def _local_scores(q, vectors, metric):
+    # HIGHEST precision: f32-exact scores. On v5e the scan is HBM-bound,
+    # so the extra MXU passes are free (see index/flat.py measurement).
+    qx = jax.lax.dot_general(
+        q, vectors, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     if metric in ("IP", "COSINE"):
-        return q @ vectors.T
-    return -(jnp.sum(q ** 2, -1, keepdims=True) - 2.0 * q @ vectors.T
+        return qx
+    return -(jnp.sum(q ** 2, -1, keepdims=True) - 2.0 * qx
              + jnp.sum(vectors ** 2, -1)[None, :])
 
 
