@@ -83,6 +83,7 @@ class FlatIndex:
         self.vectors: Optional[jnp.ndarray] = None  # [cap, D] f32 (normalized for COSINE)
         self.labels: Optional[jnp.ndarray] = None  # [cap] f32
         self.ids: Optional[jnp.ndarray] = None  # [cap] i32
+        self.norms_sq: Optional[jnp.ndarray] = None  # [cap] f32 exact row norms
         self.paths: List[str] = []
         self.metadata: List[dict] = []
         # IVF state (row -> cell assignment; rows are NOT reordered)
@@ -156,6 +157,11 @@ class FlatIndex:
         ids_p = np.pad(ids, (0, pad), constant_values=-1)
         self.vectors = jnp.asarray(
             vecs_p, jnp.bfloat16 if self.use_float16 else jnp.float32)
+        # Exact f32 row norms, computed once: saves a full second DB read
+        # per L2 search (measured ~0.7 ms/batch at ITW scale).
+        self.norms_sq = jnp.asarray(
+            np.sum(np.square(np.asarray(self.vectors.astype(jnp.float32))),
+                   axis=-1).astype(np.float32))
         self.labels = jnp.asarray(labels_p)
         self.ids = jnp.asarray(ids_p)
         if self.metric == "IVF" and self.n:
@@ -203,7 +209,7 @@ class FlatIndex:
             q, self.vectors, self.ids, exclude_ids, k,
             metric=self.metric, n_valid=self.n,
             centroids=cents, cells=cells, nprobe=self.nprobe,
-            use_pallas=self.use_pallas)
+            use_pallas=self.use_pallas, xsq=self.norms_sq)
         return np.asarray(dists), np.asarray(idx).astype(np.int64)
 
     def search_device(self, q: jnp.ndarray, k: int, *,
@@ -219,7 +225,7 @@ class FlatIndex:
             q.astype(jnp.float32), self.vectors, self.ids, exclude_ids, k,
             metric=self.metric, n_valid=self.n,
             centroids=cents, cells=cells, nprobe=self.nprobe,
-            use_pallas=self.use_pallas)
+            use_pallas=self.use_pallas, xsq=self.norms_sq)
 
     def search_overfetch(self, queries, k: int,
                          exclude_basenames=None) -> Tuple[np.ndarray, np.ndarray]:
@@ -317,7 +323,7 @@ def _assign_cells(vectors: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
                                    "use_pallas", "exact", "exclude_mode"))
 def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
                    centroids=None, cells=None, nprobe=32, use_pallas=False,
-                   exact=True, exclude_mode="batch"):
+                   exact=True, exclude_mode="batch", xsq=None):
     """Fused score + mask + k-select. All shapes static; jit-cached per
     (capacity, B, k, metric).
 
@@ -381,11 +387,11 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
     qx = jax.lax.dot_general(
         qm, vectors, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
-    xsq = None
     if metric in ("IP", "COSINE"):
         scores = qx
     else:  # L2 (and IVF over L2): negative squared distance
-        xsq = jnp.sum(jnp.square(vectors.astype(jnp.float32)), -1)  # [cap]
+        if xsq is None:  # precomputed at index build when available
+            xsq = jnp.sum(jnp.square(vectors.astype(jnp.float32)), -1)
         scores = -(jnp.sum(q ** 2, -1, keepdims=True) - 2.0 * qx
                    + xsq[None, :])
 

@@ -82,7 +82,7 @@ def make_embed_fn(encoder: FrozenEncoder, config: Config):
 
 
 def retrieve_on_device(tpp, vectors, labels, ids, exclude_ids, *, k, metric,
-                       n_valid, exclude_mode="batch"):
+                       n_valid, exclude_mode="batch", xsq=None):
     """In-graph retrieval: fused search + neighbor/label gather.
 
     Replaces the reference's overfetch-(k+10)-filter-reconstruct host loop
@@ -95,7 +95,7 @@ def retrieve_on_device(tpp, vectors, labels, ids, exclude_ids, *, k, metric,
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
     dists, idx = _search_device(
         q, vectors, ids, exclude_ids, k, metric=metric, n_valid=n_valid,
-        use_pallas=False, exclude_mode=exclude_mode)
+        use_pallas=False, exclude_mode=exclude_mode, xsq=xsq)
     safe = jnp.maximum(idx, 0).astype(jnp.int32)
     neighbors = jnp.take(vectors, safe.reshape(-1), axis=0)
     neighbors = neighbors.reshape(idx.shape + (vectors.shape[-1],))
@@ -177,6 +177,7 @@ class DetectionPipeline:
         self.index.vectors = jax.device_put(self.index.vectors, row)
         self.index.labels = jax.device_put(self.index.labels, vec)
         self.index.ids = jax.device_put(self.index.ids, vec)
+        self.index.norms_sq = jax.device_put(self.index.norms_sq, vec)
 
     # ------------------------------------------------------------------
     def _ensure_model_state(self):
@@ -192,7 +193,8 @@ class DetectionPipeline:
         if self.is_quantized:
             return (self.index.codes, self.index.scales, self.index.norm_sq,
                     self.index.labels, self.index.ids)
-        return (self.index.vectors, self.index.labels, self.index.ids)
+        return (self.index.vectors, self.index.labels, self.index.ids,
+                self.index.norms_sq)
 
     def _retrieve(self, index_args, tpp, exclude_ids, *, k, metric, n_valid,
                   exclude_mode="batch"):
@@ -204,10 +206,10 @@ class DetectionPipeline:
             return retrieve_on_device_sq8(
                 tpp, codes, scales, norm_sq, labels, ids, exclude_ids,
                 k=k, metric="L2", n_valid=n_valid)
-        vectors, labels, ids = index_args
+        vectors, labels, ids, xsq = index_args
         return retrieve_on_device(tpp, vectors, labels, ids, exclude_ids,
                                   k=k, metric=metric, n_valid=n_valid,
-                                  exclude_mode=exclude_mode)
+                                  exclude_mode=exclude_mode, xsq=xsq)
 
     def _query_batches(self, manifest: Manifest, batch_size: int, *,
                        shuffle: bool, seed: int = 0):
@@ -335,7 +337,7 @@ class DetectionPipeline:
             if mesh is not None:
                 from radad_tpu.parallel.sharded_index import sharded_retrieve
 
-                vectors, labels, ids = index_args
+                vectors, labels, ids, _xsq = index_args
                 ret = sharded_retrieve(
                     mesh, tpp, vectors, labels, ids, ids >= 0, exclude_ids,
                     k=k, metric=metric)
@@ -355,11 +357,11 @@ class DetectionPipeline:
             row = NamedSharding(mesh, P(INDEX_AXIS, None))
             vec = NamedSharding(mesh, P(INDEX_AXIS))
             train_shardings = dict(
-                in_shardings=(rep, rep, rep, (row, vec, vec),
+                in_shardings=(rep, rep, rep, (row, vec, vec, vec),
                               bsh, bsh, bsh, bsh, None, None),
                 out_shardings=(rep, rep, rep))
             eval_shardings = dict(
-                in_shardings=(rep, (row, vec, vec), bsh, bsh),
+                in_shardings=(rep, (row, vec, vec, vec), bsh, bsh),
                 out_shardings=(bsh, bsh))
         else:
             train_shardings = {}
