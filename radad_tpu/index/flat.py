@@ -374,13 +374,14 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
                              larger_better)
 
     # XLA path. For f32 storage the exact mode runs the full scan straight
-    # at Precision.HIGHEST: measured on v5e the scan is HBM-bandwidth-bound,
-    # so the extra MXU passes vanish behind the memory traffic (0.65 ms vs
-    # 0.59 ms default-precision at ITW scale, recall@5 = 1.0 by
-    # construction) — no candidate re-rank stage needed. For bf16 storage
-    # (use_float16) the scan runs in the storage dtype and a small exact-f32
-    # re-rank over R = max(4k, 32) candidates restores neighbor order
-    # relative to the stored (rounded) vectors.
+    # at Precision.HIGHEST — f32-exact by construction, no candidate
+    # re-rank stage. Measured on v5e at ITW scale: 2.4 ms/batch (vs 3.0 ms
+    # for fast-scan + candidate re-rank, and 0.7 ms for the non-exact fast
+    # scan, which is HBM-bound at ~790 GB/s; HIGHEST is MXU-bound at the
+    # multi-pass bf16 rate). For bf16 storage (use_float16) the scan runs
+    # in the storage dtype and a small exact-f32 re-rank over
+    # R = max(4k, 32) candidates restores neighbor order relative to the
+    # stored (rounded) vectors.
     f32_store = vectors.dtype == jnp.float32
     prec = jax.lax.Precision.HIGHEST if (exact and f32_store) else None
     qm = q.astype(vectors.dtype)
