@@ -1,0 +1,86 @@
+"""Pallas row-gather kernel: HBM→VMEM async-DMA per row.
+
+One async DMA per row directly into the output block, row indices
+scalar-prefetched so copies overlap across grid steps via the normal
+Pallas pipeline. The source array is viewed ``[N, D/128, 128]`` so the
+row dimension is untiled (single-row slices of a 2-D (8,128)-tiled HBM
+array are illegal DMA sources).
+
+Measured on v5e (8192 random rows × 5376 f32 from a 25k-row table):
+560 GB/s — correct, but XLA's ``jnp.take`` reaches 758 GB/s on the same
+pattern, so this kernel is NOT wired into the retrieval path; it exists
+as the substrate for gather patterns XLA can't fuse (e.g., gathering
+directly into a quantized-scan pipeline) and as a worked example of
+scalar-prefetch DMA gathers. Rows are processed _CHUNK at a time so the
+output block satisfies the (8, 128) f32 tiling constraint; D must be a
+multiple of 128 (5376/3584 both are; other dims fall back to jnp.take).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_CHUNK = 8  # rows per grid step (f32 sublane tile)
+
+
+def _gather_kernel(idx_ref, x_hbm, o_ref, sems):
+    i = pl.program_id(0)
+
+    def body(j, _):
+        row = idx_ref[i * _CHUNK + j]
+        dma = pltpu.make_async_copy(
+            x_hbm.at[row], o_ref.at[j], sems.at[j])
+        dma.start()
+        return 0
+
+    jax.lax.fori_loop(0, _CHUNK, body, 0)
+
+    def wait(j, _):
+        row = idx_ref[i * _CHUNK + j]
+        pltpu.make_async_copy(x_hbm.at[row], o_ref.at[j], sems.at[j]).wait()
+        return 0
+
+    jax.lax.fori_loop(0, _CHUNK, wait, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_rows(x: jnp.ndarray, idx: jnp.ndarray, *,
+                interpret: bool = False) -> jnp.ndarray:
+    """``x [N, D]``, ``idx [M] int32`` → ``x[idx] [M, D]``.
+
+    Out-of-range/negative indices are clamped to 0 (callers mask invalid
+    rows themselves, matching jnp.take's clip mode on TPU).
+    """
+    n, d = x.shape
+    m = idx.shape[0]
+    if d % 128 != 0:
+        return jnp.take(x, jnp.clip(idx, 0, n - 1), axis=0)
+    m_pad = ((m + _CHUNK - 1) // _CHUNK) * _CHUNK
+    idx_p = jnp.zeros((m_pad,), jnp.int32).at[:m].set(
+        jnp.clip(idx.astype(jnp.int32), 0, n - 1))
+
+    # 3-D view [N, D/128, 128]: the row dimension is then untiled, so a
+    # single-row HBM slice is a legal DMA source (2-D rows would need
+    # 8-row-aligned slices under the (8,128) tile layout).
+    sub = d // 128
+    x3 = x.reshape(n, sub, 128)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_pad // _CHUNK,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # x stays in HBM
+        out_specs=pl.BlockSpec((_CHUNK, sub, 128), lambda i, idx_ref: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_CHUNK,))],
+    )
+    out = pl.pallas_call(
+        _gather_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, sub, 128), x.dtype),
+        interpret=interpret,
+    )(idx_p, x3)
+    return out[:m].reshape(m, d)

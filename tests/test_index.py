@@ -252,3 +252,19 @@ def test_overfetch_parity_mode(rng):
     d_over, i_over = idx.search_overfetch(q, 5, exclude_basenames=basenames)
     np.testing.assert_array_equal(i_mask, i_over)
     np.testing.assert_allclose(d_mask, d_over, rtol=1e-5)
+
+
+def test_pallas_gather_interpret(rng):
+    """DMA row-gather kernel (interpret mode) == jnp.take."""
+    import jax.numpy as jnp
+    from radad_tpu.ops.gather import gather_rows
+
+    x = rng.standard_normal((100, 256)).astype(np.float32)
+    idx = rng.integers(0, 100, size=20).astype(np.int32)
+    out = np.asarray(gather_rows(jnp.asarray(x), jnp.asarray(idx),
+                                 interpret=True))
+    np.testing.assert_array_equal(out, x[idx])
+    # non-multiple-of-128 dims fall back to jnp.take
+    x2 = rng.standard_normal((50, 100)).astype(np.float32)
+    out2 = np.asarray(gather_rows(jnp.asarray(x2), jnp.asarray(idx[:5])))
+    np.testing.assert_array_equal(out2, x2[idx[:5]])
