@@ -43,6 +43,7 @@ def main():
     import jax.numpy as jnp
 
     from radad_tpu.index.flat import _search_device
+    from radad_tpu.ops.gather import to_gather_layout
     from radad_tpu.utils.benchmark import chain_time, warmup
 
     n, d, b, k = 25423, 5376, 256, 5
@@ -67,14 +68,19 @@ def main():
     excld = jnp.arange(b, dtype=jnp.int32) % 9973
 
     # Exactness gate on a host-verifiable subset: recall@5 vs the numpy
-    # oracle must be 1.0 (two-stage fast-scan + exact-f32-rerank search).
+    # oracle must be 1.0 (two-stage bf16-scan + fused-Pallas-rerank search,
+    # exactly the production FlatIndex path on TPU).
     n_small = 4096
     xs = x_host[:n_small]
+    xs_d = jnp.asarray(xs)
     v, i_dev = _search_device(
-        jnp.asarray(q_host), jnp.asarray(xs),
+        jnp.asarray(q_host), xs_d,
         jnp.asarray((np.arange(n_small) % 997).astype(np.int32)),
         jnp.asarray((np.arange(b) % 997).astype(np.int32)),
-        k, metric="L2", n_valid=n_small)
+        k, metric="L2", n_valid=n_small,
+        xsq=jnp.sum(jnp.square(xs_d), -1),
+        scan_bf16=xs_d.astype(jnp.bfloat16),
+        gather3=to_gather_layout(xs_d))
     i_dev = np.asarray(i_dev)
     scores = -(np.sum(q_host ** 2, -1, keepdims=True) - 2 * q_host @ xs.T
                + np.sum(xs ** 2, -1)[None, :])
@@ -88,14 +94,20 @@ def main():
     assert recall == 1.0, f"recall@5 = {recall} != 1.0"
     print(f"# recall@5 vs oracle (n={n_small}): {recall}", file=sys.stderr)
 
-    xsq = jnp.sum(jnp.square(xd), -1)  # precomputed at index build in prod
+    # Accelerator arrays, built once at index build time in production
+    # (FlatIndex._install): exact f32 row norms, bf16 scan copy, f32
+    # gather-layout copy for the fused Pallas rerank.
+    xsq = jnp.sum(jnp.square(xd), -1)
+    x_bf = jax.jit(lambda x: x.astype(jnp.bfloat16))(xd)
+    x3 = jax.jit(to_gather_layout)(xd)
 
-    def step(qs, xd, idsd, excld, xsq):
+    def step(qs, xd, idsd, excld, xsq, x_bf, x3):
         vals, _ = _search_device(qs, xd, idsd, excld, k, metric="L2",
-                                 n_valid=n, xsq=xsq)
+                                 n_valid=n, xsq=xsq, scan_bf16=x_bf,
+                                 gather3=x3)
         return qs + 0.0 * jnp.sum(jnp.where(jnp.isfinite(vals), vals, 0.0))
 
-    dt = chain_time(step, qd, n=16, consts=(xd, idsd, excld, xsq))
+    dt = chain_time(step, qd, n=16, consts=(xd, idsd, excld, xsq, x_bf, x3))
     qps = b / dt
     print(f"# tpu: {dt * 1000:.3f} ms/batch → {qps:,.0f} QPS "
           f"({n * d * 4 / dt / 1e9:.0f} GB/s effective)", file=sys.stderr)

@@ -48,27 +48,43 @@ def _gather_kernel(idx_ref, x_hbm, o_ref, sems):
     jax.lax.fori_loop(0, _CHUNK, wait, 0)
 
 
+def to_gather_layout(x: jnp.ndarray) -> jnp.ndarray:
+    """Reshape ``[N, D]`` → ``[N, D/128, 128]`` for DMA-gatherable storage.
+
+    On TPU this is a real layout change (the (8,128) tiling moves from
+    (row, col) to the inner two dims), i.e. a full copy — do it ONCE at
+    index build, never inside a per-step graph (measured: an in-graph
+    reshape of the ITW-scale f32 table costs ~3 ms/step, erasing the
+    kernel's win)."""
+    n, d = x.shape
+    assert d % 128 == 0, d
+    return x.reshape(n, d // 128, 128)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gather_rows(x: jnp.ndarray, idx: jnp.ndarray, *,
                 interpret: bool = False) -> jnp.ndarray:
-    """``x [N, D]``, ``idx [M] int32`` → ``x[idx] [M, D]``.
+    """``x [N, D]`` or pre-laid-out ``[N, D/128, 128]`` (see
+    ``to_gather_layout``), ``idx [M] int32`` → ``x[idx] [M, D]``.
 
     Out-of-range/negative indices are clamped to 0 (callers mask invalid
     rows themselves, matching jnp.take's clip mode on TPU).
     """
-    n, d = x.shape
+    if x.ndim == 3:
+        n, sub, lanes = x.shape
+        assert lanes == 128, x.shape
+        d = sub * 128
+        x3 = x
+    else:
+        n, d = x.shape
+        if d % 128 != 0:
+            return jnp.take(x, jnp.clip(idx, 0, n - 1), axis=0)
+        x3 = to_gather_layout(x)
+        sub = d // 128
     m = idx.shape[0]
-    if d % 128 != 0:
-        return jnp.take(x, jnp.clip(idx, 0, n - 1), axis=0)
     m_pad = ((m + _CHUNK - 1) // _CHUNK) * _CHUNK
     idx_p = jnp.zeros((m_pad,), jnp.int32).at[:m].set(
         jnp.clip(idx.astype(jnp.int32), 0, n - 1))
-
-    # 3-D view [N, D/128, 128]: the row dimension is then untiled, so a
-    # single-row HBM slice is a legal DMA source (2-D rows would need
-    # 8-row-aligned slices under the (8,128) tile layout).
-    sub = d // 128
-    x3 = x.reshape(n, sub, 128)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(m_pad // _CHUNK,),

@@ -82,22 +82,33 @@ def make_embed_fn(encoder: FrozenEncoder, config: Config):
 
 
 def retrieve_on_device(tpp, vectors, labels, ids, exclude_ids, *, k, metric,
-                       n_valid, exclude_mode="batch", xsq=None):
+                       n_valid, exclude_mode="batch", xsq=None,
+                       scan_bf16=None, gather3=None):
     """In-graph retrieval: fused search + neighbor/label gather.
 
     Replaces the reference's overfetch-(k+10)-filter-reconstruct host loop
     (pipeline.py:478-515): exclusion is an exact on-device id mask, missing
     neighbors (k > matches) come back as zero vectors with label 0.0 and
     distance +inf — the same padding contract as pipeline.py:511-515.
+
+    ``scan_bf16``/``gather3`` (built by FlatIndex on TPU) switch the search
+    to the fast-exact two-stage path and the neighbor fetch to the Pallas
+    DMA gather (see radad_tpu.index.flat / ops.rerank).
     """
     q = tpp
     if metric == "COSINE":
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
     dists, idx = _search_device(
         q, vectors, ids, exclude_ids, k, metric=metric, n_valid=n_valid,
-        use_pallas=False, exclude_mode=exclude_mode, xsq=xsq)
+        use_pallas=False, exclude_mode=exclude_mode, xsq=xsq,
+        scan_bf16=scan_bf16, gather3=gather3)
     safe = jnp.maximum(idx, 0).astype(jnp.int32)
-    neighbors = jnp.take(vectors, safe.reshape(-1), axis=0)
+    if gather3 is not None:
+        from radad_tpu.ops.gather import gather_rows
+
+        neighbors = gather_rows(gather3, safe.reshape(-1))
+    else:
+        neighbors = jnp.take(vectors, safe.reshape(-1), axis=0)
     neighbors = neighbors.reshape(idx.shape + (vectors.shape[-1],))
     ok = (idx >= 0)[..., None]
     neighbors = jnp.where(ok, neighbors, 0.0)
@@ -193,8 +204,13 @@ class DetectionPipeline:
         if self.is_quantized:
             return (self.index.codes, self.index.scales, self.index.norm_sq,
                     self.index.labels, self.index.ids)
+        if self.mesh is not None:
+            # The sharded retrieve path takes the canonical arrays only.
+            return (self.index.vectors, self.index.labels, self.index.ids,
+                    self.index.norms_sq)
         return (self.index.vectors, self.index.labels, self.index.ids,
-                self.index.norms_sq)
+                self.index.norms_sq, self.index.scan_bf16,
+                self.index.gather3)
 
     def _retrieve(self, index_args, tpp, exclude_ids, *, k, metric, n_valid,
                   exclude_mode="batch"):
@@ -206,10 +222,12 @@ class DetectionPipeline:
             return retrieve_on_device_sq8(
                 tpp, codes, scales, norm_sq, labels, ids, exclude_ids,
                 k=k, metric="L2", n_valid=n_valid)
-        vectors, labels, ids, xsq = index_args
+        vectors, labels, ids, xsq, scan_bf16, gather3 = (
+            index_args if len(index_args) == 6 else index_args + (None, None))
         return retrieve_on_device(tpp, vectors, labels, ids, exclude_ids,
                                   k=k, metric=metric, n_valid=n_valid,
-                                  exclude_mode=exclude_mode, xsq=xsq)
+                                  exclude_mode=exclude_mode, xsq=xsq,
+                                  scan_bf16=scan_bf16, gather3=gather3)
 
     def _query_batches(self, manifest: Manifest, batch_size: int, *,
                        shuffle: bool, seed: int = 0):

@@ -269,3 +269,85 @@ def test_pallas_gather_interpret(rng):
     idx2 = (idx[:5] % 50).astype(np.int32)
     out2 = np.asarray(gather_rows(jnp.asarray(x2), jnp.asarray(idx2)))
     np.testing.assert_array_equal(out2, x2[idx2])
+
+
+def test_hier_candidates_superset(rng):
+    """Hierarchical tile candidates provably contain the exact top-k."""
+    import jax.numpy as jnp
+
+    from radad_tpu.index.flat import _hier_candidates
+
+    for cap, k in [(1024, 5), (2000, 5), (1280, 13)]:
+        scores = rng.standard_normal((9, cap)).astype(np.float32)
+        scores[2, 100:200] = -np.inf  # excluded rows
+        vals, rows = _hier_candidates(jnp.asarray(scores), k)
+        vals, rows = np.asarray(vals), np.asarray(rows)
+        oracle = np.argsort(-scores, axis=1)[:, :k]
+        for b in range(scores.shape[0]):
+            top = set(oracle[b][np.isfinite(scores[b][oracle[b]])])
+            assert top <= set(rows[b]), f"row {b}: missing {top - set(rows[b])}"
+        # reported candidate values match the scores at those rows
+        safe = np.clip(rows, 0, cap - 1)
+        finite = np.isfinite(vals)
+        got = np.take_along_axis(scores, safe, axis=1)
+        assert np.array_equal(got[finite], vals[finite])
+
+
+def test_exact_dot_interpret(rng):
+    """Fused rerank kernel (interpret mode) == HIGHEST-precision oracle."""
+    import jax.numpy as jnp
+
+    from radad_tpu.ops.gather import to_gather_layout
+    from radad_tpu.ops.rerank import exact_dot, exact_dot_reference
+
+    n, d, b, r = 96, 256, 7, 6
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    idx = rng.integers(0, n, (b, r)).astype(np.int32)
+    got = np.asarray(exact_dot(
+        jnp.asarray(q.reshape(b, d // 128, 128)),
+        to_gather_layout(jnp.asarray(x)), jnp.asarray(idx), interpret=True))
+    want = np.asarray(exact_dot_reference(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(idx)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
+
+
+def test_fast_exact_search_path(rng):
+    """_search_fast_exact (with interpret-mode rerank kernel) matches the
+    default exact search bit-for-bit on neighbor sets."""
+    import jax.numpy as jnp
+
+    from radad_tpu.index import flat as flat_mod
+    from radad_tpu.ops.gather import to_gather_layout
+    from radad_tpu.ops import rerank as rerank_mod
+
+    n, d, b, k = 600, 256, 16, 5
+    cap = 1024
+    x = np.zeros((cap, d), np.float32)
+    x[:n] = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    ids = np.full((cap,), -1, np.int32)
+    ids[:n] = np.arange(n) % 97
+    excl = (np.arange(b) % 97).astype(np.int32)
+
+    xd = jnp.asarray(x)
+    xsq = jnp.sum(jnp.square(xd), -1)
+    # route the kernel through interpret mode on CPU
+    orig = rerank_mod.exact_dot
+    rerank_mod.exact_dot = lambda q3, x3, idx: orig(q3, x3, idx,
+                                                   interpret=True)
+    try:
+        d_fast, i_fast = flat_mod._search_device(
+            jnp.asarray(q), xd, jnp.asarray(ids), jnp.asarray(excl), k,
+            metric="L2", n_valid=n, xsq=xsq,
+            scan_bf16=xd.astype(jnp.bfloat16), gather3=to_gather_layout(xd))
+    finally:
+        rerank_mod.exact_dot = orig
+    d_ref, i_ref = flat_mod._search_device(
+        jnp.asarray(q), xd, jnp.asarray(ids), jnp.asarray(excl), k,
+        metric="L2", n_valid=n, xsq=xsq)
+    i_fast, i_ref = np.asarray(i_fast), np.asarray(i_ref)
+    for row in range(b):
+        assert set(i_fast[row]) == set(i_ref[row]), row
+    np.testing.assert_allclose(np.asarray(d_fast), np.asarray(d_ref),
+                               rtol=1e-4, atol=1e-4)
