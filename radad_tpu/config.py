@@ -90,9 +90,21 @@ class Config:
 
     # --- Misc flags carried over (reference config.py:73-92) ---
     use_mixed_precision: bool = False
+    # Wired: rematerializes the fusion-model forward in backward
+    # (jax.checkpoint in train.pipeline._build_steps), the XLA analogue of
+    # the reference's per-block torch checkpointing (projection.py:114-117,
+    # detection_model.py:79-91).
     use_gradient_checkpointing: bool = False
+    # NO-OPS BY DESIGN on TPU, kept for config-surface parity: the
+    # reference flags switch fused-vs-Sequential module construction with
+    # identical math (projection.py:29-53, detection_model.py:79-91); under
+    # XLA every step is jit-compiled and operator fusion is automatic, so
+    # there is nothing to toggle. Accepted and ignored.
     fuse_attention_ops: bool = True
     fuse_activations: bool = True
+    # NO-OP BY DESIGN: torch.compile parity flag (detection_model.py:37-39).
+    # JAX traces and compiles every step unconditionally — compilation
+    # cannot be turned off, so the flag is accepted and ignored.
     compile_model: bool = False
     use_float16: bool = False
     usewandb: bool = False

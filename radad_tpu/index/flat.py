@@ -77,7 +77,8 @@ class FlatIndex:
     def __init__(self, dimension: int, metric: str = "L2", *,
                  nlist: int = 0, nprobe: int = 32,
                  use_pallas: Optional[bool] = None,
-                 use_float16: bool = False):
+                 use_float16: bool = False,
+                 add_batch_size: int = 10000):
         metric = metric.upper()
         if metric not in self.metric_kinds:
             raise ValueError(f"Unknown index metric: {metric}")
@@ -90,6 +91,11 @@ class FlatIndex:
         self.use_float16 = bool(use_float16)
         self.nlist = int(nlist)
         self.nprobe = int(nprobe)
+        # Upload granularity for incremental adds — the reference's
+        # config.vector_add_batch_size / add_vectors_batch chunking
+        # (vector_database.py:108-151).
+        self.add_batch_size = int(add_batch_size)
+        self.upload_count = 0  # device uploads of vector rows (test probe)
         self.n = 0
         self._cap = 0
         self.vectors: Optional[jnp.ndarray] = None  # [cap, D] f32 (normalized for COSINE)
@@ -125,10 +131,12 @@ class FlatIndex:
             ids: Optional[Sequence[int]] = None) -> None:
         """Append rows (vector_database.py:108-151's add_vectors_batch).
 
-        Adds are host-side numpy concatenation followed by ONE device_put —
-        the index is rebuilt in HBM per add call, which is fine for the
-        build-once / search-many lifecycle this serves.
-        """
+        Incremental and device-side: only the NEW rows are uploaded (in
+        ``add_batch_size`` chunks, the reference's 10k default), existing
+        device rows are never read back to the host, and the in-place
+        update uses jit buffer donation so repeated chunked adds are O(new)
+        per call, not O(total). Capacity grows by doubling (padded to the
+        1024-row quantum) so search shapes stay cache-stable."""
         from radad_tpu.data.manifest import file_id
 
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
@@ -142,25 +150,68 @@ class FlatIndex:
             raise ValueError("labels/paths length mismatch with vectors")
         if ids is None:
             ids = [file_id(p) for p in paths]
-
-        old_host = (
-            np.asarray(self.vectors.astype(jnp.float32))[: self.n]
-            if self.n else np.zeros((0, self.dimension), np.float32))
-        old_labels = (
-            np.asarray(self.labels)[: self.n] if self.n else
-            np.zeros((0,), np.float32))
-        old_ids = (
-            np.asarray(self.ids)[: self.n] if self.n else
-            np.zeros((0,), np.int32))
-
-        all_vecs = np.concatenate([old_host, vectors], axis=0)
-        all_labels = np.concatenate(
-            [old_labels, np.asarray(labels, np.float32)])
-        all_ids = np.concatenate([old_ids, np.asarray(ids, np.int32)])
+        labels = np.asarray(labels, np.float32)
+        ids = np.asarray(ids, np.int32)
         self.paths.extend(list(paths))
         self.metadata.extend(list(metadata) if metadata is not None
                              else [{} for _ in range(n_new)])
-        self._install(all_vecs, all_labels, all_ids)
+
+        if self.n == 0:
+            self.upload_count += 1
+            self._install(vectors, labels, ids)
+            return
+        bs = self.add_batch_size or n_new
+        for i in range(0, n_new, bs):
+            self._append_chunk(vectors[i:i + bs], labels[i:i + bs],
+                               ids[i:i + bs])
+        if self.metric == "IVF":
+            # Coarse quantizer retrains on the merged set (one host pull,
+            # same as _install's semantics).
+            self._train_ivf(
+                np.asarray(self.vectors.astype(jnp.float32))[: self.n])
+
+    def _grow_to(self, new_cap: int) -> None:
+        """Device-side capacity growth (no host transfer)."""
+        pad_rows = new_cap - self._cap
+
+        def pad0(a, fill=0):
+            widths = [(0, pad_rows)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, widths, constant_values=fill)
+
+        self.vectors = pad0(self.vectors)
+        self.norms_sq = pad0(self.norms_sq)
+        self.labels = pad0(self.labels)
+        self.ids = pad0(self.ids, fill=-1)
+        if self.scan_bf16 is not None:
+            self.scan_bf16 = pad0(self.scan_bf16)
+            self.gather3 = pad0(self.gather3)
+        if self.cells is not None:
+            self.cells = pad0(self.cells)
+        self._cap = new_cap
+
+    def _append_chunk(self, vec: np.ndarray, lab: np.ndarray,
+                      idc: np.ndarray) -> None:
+        m = vec.shape[0]
+        need = self.n + m
+        if need > self._cap:
+            self._grow_to(_round_up(max(need, 2 * self._cap)))
+        dev = jnp.asarray(vec, self.vectors.dtype)  # the one upload
+        self.upload_count += 1
+        start = jnp.int32(self.n)
+        self.vectors = _dus(self.vectors, dev, start)
+        self.norms_sq = _dus(
+            self.norms_sq, jnp.sum(jnp.square(dev.astype(jnp.float32)), -1),
+            start)
+        self.labels = _dus(self.labels, jnp.asarray(lab, jnp.float32), start)
+        self.ids = _dus(self.ids, jnp.asarray(idc, jnp.int32), start)
+        if self.scan_bf16 is not None:
+            self.scan_bf16 = _dus(self.scan_bf16, dev.astype(jnp.bfloat16),
+                                  start)
+            self.gather3 = _dus(
+                self.gather3,
+                dev.astype(jnp.float32).reshape(m, self.dimension // _LANES,
+                                                _LANES), start)
+        self.n = need
 
     def _install(self, vecs: np.ndarray, labels: np.ndarray, ids: np.ndarray) -> None:
         self.n = vecs.shape[0]
@@ -348,6 +399,15 @@ class FlatIndex:
 
 
 # ----------------------------------------------------------------------
+@partial(jax.jit, donate_argnums=(0,))
+def _dus(arr, update, start):
+    """In-place (donated) dynamic row update — chunked add without copying
+    the whole index (vector_database.py:108-151's chunked adds, minus the
+    host round-trip AND minus an O(capacity) device copy per chunk)."""
+    idx = (start,) + (jnp.int32(0),) * (arr.ndim - 1)
+    return jax.lax.dynamic_update_slice(arr, update.astype(arr.dtype), idx)
+
+
 def _assign_cells(vectors: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     d = (jnp.sum(vectors ** 2, -1, keepdims=True)
          - 2.0 * vectors @ centroids.T

