@@ -48,6 +48,11 @@ def main():
     p.add_argument("--data_fraction", type=float, default=1.0)
     p.add_argument("--weights_dir", default=None)
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--whisper_fast", action="store_true",
+                   help="whisper_pad_seconds=None: encode only the real "
+                        "frames instead of padding every segment to 30 s "
+                        "(reference feature_extractor.py:94-113 parity is "
+                        "the 30 s default; this is the TPU-fast variant)")
     args = p.parse_args()
 
     name = args.name or (
@@ -72,7 +77,8 @@ def main():
         data_fraction=data_fraction, num_epochs=epochs,
         batch_size=args.batch_size, eval_batch_size=args.batch_size,
         db_batch_size=64, use_batch_norm=False, use_layer_norm=True,
-        usewandb=args.wandb)
+        usewandb=args.wandb,
+        whisper_pad_seconds=None if args.whisper_fast else 30.0)
 
     splits = load_manifests(
         args.data_path, data_fraction=cfg.data_fraction,
@@ -94,6 +100,7 @@ def main():
     record = {
         "name": name,
         "encoder": args.encoder,
+        "whisper_fast": bool(args.whisper_fast),
         "pretrained_weights": encoder.pretrained,
         "data_fraction": data_fraction,
         "epochs": epochs,

@@ -162,12 +162,31 @@ class WandbShim:
         except Exception as e:
             logger.warning("wandb disabled: %s", e)
 
+    @property
+    def active(self) -> bool:
+        return self.run is not None
+
     def log(self, data: Dict) -> None:
         if self.run is not None:
             try:
                 self.run.log(data)
             except Exception:  # pragma: no cover
                 pass
+
+    def histogram(self, counts, edges):
+        """Wrap a precomputed (counts, bin_edges) pair as a wandb.Histogram
+        — the in-graph analogue of ``wandb.watch(model, log='gradients')``
+        (reference pipeline.py:334-340): histograms are computed on device
+        inside the train step, so watching adds no extra host transfer of
+        the raw gradients."""
+        if self.run is None:
+            return None
+        try:
+            import wandb
+
+            return wandb.Histogram(np_histogram=(list(counts), list(edges)))
+        except Exception:  # pragma: no cover
+            return None
 
     def finish(self) -> None:
         if self.run is not None:

@@ -345,6 +345,9 @@ class DetectionPipeline:
         n_valid = self.index.ntotal
         has_bn = self.variables is not None and "batch_stats" in self.variables
         opt = self.opt
+        # Gradient histograms are only computed when wandb is live (the
+        # wandb.watch parity path); otherwise the step graph stays lean.
+        watch_grads = self.wandb.active
 
         def train_apply(variables, neighbors, tpp, rng):
             kwargs = dict(deterministic=False, use_running_average=False)
@@ -412,7 +415,7 @@ class DetectionPipeline:
             train_shardings = dict(
                 in_shardings=(rep, rep, rep, idx_sh,
                               bsh, bsh, bsh, bsh, None, None),
-                out_shardings=(rep, rep, rep))
+                out_shardings=(rep, rep, rep, rep))
             eval_shardings = dict(
                 in_shardings=(rep, idx_sh, bsh, bsh),
                 out_shardings=(bsh, bsh))
@@ -447,10 +450,11 @@ class DetectionPipeline:
             nnz = jnp.mean((jnp.sum(jnp.abs(neighbors), axis=-1) > 0)
                            .astype(jnp.float32))
             nv = jnp.sum(vmask)
+            correct = jnp.sum(
+                (preds == batch_labels).astype(jnp.float32) * vmask)
             acc = {
                 "loss_sum": acc["loss_sum"] + loss * nv,
-                "correct": acc["correct"] + jnp.sum(
-                    (preds == batch_labels).astype(jnp.float32) * vmask),
+                "correct": acc["correct"] + correct,
                 "count": acc["count"] + nv,
                 "nnz_sum": acc["nnz_sum"] + nnz,
                 "gn_proj_sum": acc["gn_proj_sum"] + gnorms["projection_layer"],
@@ -458,7 +462,29 @@ class DetectionPipeline:
                 "gn_det_sum": acc["gn_det_sum"] + gnorms["detection_model"],
                 "batches": acc["batches"] + 1.0,
             }
-            return new_vars, opt_state, acc
+            # Per-batch observables (reference pipeline.py:845-855). These
+            # are device scalars/tiny arrays — they cost a host sync ONLY
+            # when the caller reads them (the wandb-active path).
+            batch_metrics = {
+                "loss": loss,
+                "acc": correct / jnp.maximum(nv, 1.0),
+                "gn_proj": gnorms["projection_layer"],
+                "gn_fuse": gnorms["fuse"],
+                "gn_det": gnorms["detection_model"],
+            }
+            if watch_grads:
+                # wandb.watch-equivalent gradient histograms, computed
+                # in-graph (64 bins per submodule) so the raw 3M-element
+                # grads never leave the device (pipeline.py:334-340).
+                for group, sub in (("projection_layer", "proj"),
+                                   ("fuse", "fuse"),
+                                   ("detection_model", "det")):
+                    leaves = jax.tree_util.tree_leaves(grads[group])
+                    flat = jnp.concatenate([l.reshape(-1) for l in leaves])
+                    counts, edges = jnp.histogram(flat, bins=64)
+                    batch_metrics[f"hist_counts_{sub}"] = counts
+                    batch_metrics[f"hist_edges_{sub}"] = edges
+            return new_vars, opt_state, acc, batch_metrics
 
         @partial(jax.jit, **eval_shardings)
         def eval_step(variables, index_args, tpp, exclude_ids):
@@ -500,10 +526,27 @@ class DetectionPipeline:
                     train_manifest, cfg.batch_size, shuffle=True,
                     seed=cfg.random_seed + epoch):
                 self._rng, step_rng = jax.random.split(self._rng)
-                self.variables, self.opt_state, acc = train_step(
+                self.variables, self.opt_state, acc, bm = train_step(
                     self.variables, self.opt_state, acc, index_args,
                     tpp, labels, ids, valid, pos_weight, step_rng)
                 self.step += 1
+                if self.wandb.active:
+                    # Per-batch parity with pipeline.py:845-855; the float()
+                    # reads are the only host syncs and happen only here.
+                    log = {"batch/train_loss": float(bm["loss"]),
+                           "batch/train_acc": float(bm["acc"]),
+                           "batch/grad_norm_projection": float(bm["gn_proj"]),
+                           "batch/grad_norm_fuse": float(bm["gn_fuse"]),
+                           "batch/grad_norm_detection": float(bm["gn_det"]),
+                           "batch/step": self.step, "batch/epoch": epoch + 1}
+                    if self.step % 100 == 0:  # wandb.watch log_freq parity
+                        for sub in ("proj", "fuse", "det"):
+                            h = self.wandb.histogram(
+                                np.asarray(bm[f"hist_counts_{sub}"]),
+                                np.asarray(bm[f"hist_edges_{sub}"]))
+                            if h is not None:
+                                log[f"gradients/{sub}"] = h
+                    self.wandb.log(log)
             accs = {k: float(v) for k, v in acc.items()}  # one epoch sync
             train_loss = accs["loss_sum"] / max(accs["count"], 1.0)
             train_acc = accs["correct"] / max(accs["count"], 1.0)

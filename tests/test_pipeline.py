@@ -221,3 +221,41 @@ def test_predict_batch(trained):
         assert out["retrieved_files"] == single["retrieved_files"]
         # self-exclusion per row
         assert os.path.basename(path) not in out["retrieved_files"]
+
+
+def test_per_batch_wandb_logging(synthetic_dataset, tiny_encoder, tmp_path):
+    """wandb-active runs log loss/acc/grad-norms PER BATCH and gradient
+    histograms every 100 steps (reference pipeline.py:845-855,334-340);
+    without wandb no per-batch host sync happens."""
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    cfg = Config().replace(
+        train_data_path=synthetic_dataset, test_data_path=synthetic_dataset,
+        data_root=str(tmp_path), num_epochs=1, batch_size=8,
+        eval_batch_size=8, top_k=3, use_layer_norm=True,
+        use_batch_norm=False)
+    splits = load_manifests(synthetic_dataset, data_fraction=1.0,
+                            train_split=0.8, seed=42)
+    pipe = DetectionPipeline(cfg, encoder=tiny_encoder)
+
+    logged = []
+
+    class _StubRun:
+        def log(self, data):
+            logged.append(data)
+
+        def finish(self):
+            pass
+
+    pipe.wandb.run = _StubRun()
+    assert pipe.wandb.active
+    pipe.train(splits["train"], splits["val"])
+    batch_logs = [d for d in logged if "batch/train_loss" in d]
+    # 20 train clips → ceil(16/8)=2 train batches in the epoch
+    assert len(batch_logs) >= 2
+    for d in batch_logs:
+        assert np.isfinite(d["batch/train_loss"])
+        assert np.isfinite(d["batch/grad_norm_projection"])
+        assert np.isfinite(d["batch/grad_norm_fuse"])
+        assert np.isfinite(d["batch/grad_norm_detection"])
+        assert 0.0 <= d["batch/train_acc"] <= 1.0
