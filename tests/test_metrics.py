@@ -102,3 +102,26 @@ def test_recall_at_k():
     exact = np.array([[1, 2, 3, 4, 5], [6, 7, 8, 9, 10]])
     got = np.array([[1, 2, 3, 99, 98], [6, 7, 8, 9, 10]])
     assert M.recall_at_k(got, exact) == pytest.approx(0.8)
+
+
+def test_notebook_plot_helpers(tmp_path):
+    """Inline notebook figures (reference pipeline.py:1160-1259 parity)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import numpy as np
+
+    from radad_tpu.train.notebook import plot_roc_det, plot_training_history
+
+    csv_path = str(tmp_path / "metrics.csv")
+    with open(csv_path, "w") as f:
+        f.write("epoch,train_loss,train_acc,val_loss,val_acc,"
+                "eer_percent,macro_eer_percent\n")
+        f.write("1,0.7,0.5,0.69,0.5,40.0,42.0\n")
+        f.write("2,0.5,0.8,0.55,0.75,,\n")  # missing EER column tolerated
+    fig = plot_training_history(csv_path)
+    assert len(fig.axes) == 3
+    rng = np.random.default_rng(0)
+    labels = (rng.random(200) > 0.5).astype(np.float32)
+    scores = labels + rng.standard_normal(200) * 0.7
+    fig2 = plot_roc_det(scores, labels, title="t")
+    assert len(fig2.axes) == 2

@@ -259,3 +259,30 @@ def test_per_batch_wandb_logging(synthetic_dataset, tiny_encoder, tmp_path):
         assert np.isfinite(d["batch/grad_norm_fuse"])
         assert np.isfinite(d["batch/grad_norm_detection"])
         assert 0.0 <= d["batch/train_acc"] <= 1.0
+
+
+def test_predict_exclusion_wipe_fallback(trained, tmp_path):
+    """A query whose basename id excludes every DB row must fall back to
+    unexcluded retrieval (reference pipeline.py:1051-1054), now decided
+    in-graph by lax.cond (no host sync)."""
+    pipe, splits, _, _ = trained
+    # Build a tiny index of ONE file, then predict on that same file:
+    # batch-global exclusion wipes the whole DB.
+    from radad_tpu.data.manifest import file_id
+    from radad_tpu.index.flat import FlatIndex
+
+    src = splits["train"].paths[0]
+    emb = pipe.get_embeddings(splits["train"])
+    one = FlatIndex(pipe.tpp_dim, "L2")
+    one.add(emb[:1], [1.0], [src], ids=[file_id(src)])
+    old_index = pipe.index
+    pipe.index = one
+    pipe._fb_cache.clear()
+    try:
+        result = pipe.predict(src)
+        # fallback kicked in: the one (self) row is returned as neighbor
+        assert result["retrieved_files"][0] == os.path.basename(src)
+        assert np.isfinite(result["logit"])
+    finally:
+        pipe.index = old_index
+        pipe._fb_cache.clear()
