@@ -72,6 +72,11 @@ def _rerank_kernel(idx_ref, q_ref, x_hbm, out_ref, buf, sems, *,
     for qi in range(qb):
         qv = q_ref[qi]  # [sub, 128]
         rows = buf[slot, qi * r:(qi + 1) * r]  # [r, sub, 128]
+        # int8 sources dequantize (cast) in VMEM — the fused
+        # "dequant-inside-the-kernel" step XLA cannot express without
+        # materializing the dequantized rows in HBM. Per-row scales are
+        # applied by the caller on the tiny [B, R] output.
+        rows = rows.astype(jnp.float32)
         # Reduce over the sublane (sub) axis only — a full (1,2) reduction
         # to a 1-D [r] vector has no legal Mosaic output layout. The final
         # lane reduction happens outside the kernel on the tiny output.
@@ -81,9 +86,13 @@ def _rerank_kernel(idx_ref, q_ref, x_hbm, out_ref, buf, sems, *,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def exact_dot(q3: jnp.ndarray, x3: jnp.ndarray, idx: jnp.ndarray, *,
               interpret: bool = False) -> jnp.ndarray:
-    """``q3 [B, D/128, 128] f32``, ``x3 [N, D/128, 128] f32`` (gather
-    layout), ``idx [B, R] i32`` → exact f32 ``q[b] · x[idx[b, r]]`` as
-    ``[B, R]``.
+    """``q3 [B, D/128, 128] f32``, ``x3 [N, D/128, 128] f32 or int8``
+    (gather layout), ``idx [B, R] i32`` → exact f32 ``q[b] · x[idx[b, r]]``
+    as ``[B, R]``.
+
+    int8 sources are dequantized (cast) in VMEM after the DMA — 4× less
+    gather traffic than an f32 table; the caller multiplies the output by
+    the per-row scales (symmetric SQ8, index/quantized.py).
 
     Indices must already be clipped to ``[0, N)`` (callers mask invalid
     candidates by score, not by index).
@@ -115,7 +124,7 @@ def exact_dot(q3: jnp.ndarray, x3: jnp.ndarray, idx: jnp.ndarray, *,
                                lambda i, idx_ref: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, qb * r, sub, lanes), jnp.float32),
+            pltpu.VMEM((2, qb * r, sub, lanes), x3.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

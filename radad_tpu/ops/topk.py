@@ -23,10 +23,16 @@ Measured v5e status (chained-execution timing, B=256, N=25.6k, D=5376):
 the plain XLA path (``flat_topk_reference``) already runs at ~790 GB/s
 effective — HBM-bound speed-of-light for an f32 database — while this
 kernel's k-round max/argmax select lowers poorly on the VPU (~127 GB/s).
-``FlatIndex`` therefore defaults to the XLA path; this kernel is kept
-correctness-proven (exact set-match vs oracle on TPU) as the substrate for
-quantized-database scans, where fusing dequantization into the tile loop is
-something XLA cannot do and bandwidth halves/quarters.
+``FlatIndex`` therefore defaults to the XLA path (round 2: the bf16 scan +
+hierarchical tile k-select + fused Pallas rerank in ``index/flat.py`` /
+``ops/rerank.py``, 246.8k QPS exact). The round-1 claim that this kernel
+would be the substrate for quantized scans is RETIRED: the int8 (SQ8) path
+also uses the XLA MXU scan — int8 matmul is already MXU-native — and the
+only Pallas-worthy fusion is the candidate rerank's gather+dequant+dot
+(``ops/rerank.exact_dot``, 239k QPS measured). This kernel remains as a
+correctness-proven (exact set-match vs oracle on real TPU, tests
+interpret-mode) single-kernel formulation, reachable via
+``FlatIndex(use_pallas=True)``.
 """
 
 from __future__ import annotations

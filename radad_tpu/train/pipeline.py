@@ -217,8 +217,11 @@ class DetectionPipeline:
 
     def _index_args(self):
         if self.is_quantized:
-            return (self.index.codes, self.index.scales, self.index.norm_sq,
+            base = (self.index.codes, self.index.scales, self.index.norm_sq,
                     self.index.labels, self.index.ids)
+            if self.mesh is not None:
+                return base  # sharded retrieve takes the canonical arrays
+            return base + (self.index.codes3,)
         if self.mesh is not None:
             # The sharded retrieve path takes the canonical arrays only.
             return (self.index.vectors, self.index.labels, self.index.ids,
@@ -233,10 +236,12 @@ class DetectionPipeline:
         if self.is_quantized:
             from radad_tpu.index.quantized import retrieve_on_device_sq8
 
-            codes, scales, norm_sq, labels, ids = index_args
+            codes, scales, norm_sq, labels, ids, codes3 = (
+                index_args if len(index_args) == 6
+                else index_args + (None,))
             return retrieve_on_device_sq8(
                 tpp, codes, scales, norm_sq, labels, ids, exclude_ids,
-                k=k, metric="L2", n_valid=n_valid)
+                k=k, metric="L2", n_valid=n_valid, codes3=codes3)
         vectors, labels, ids, xsq, scan_bf16, gather3 = (
             index_args if len(index_args) == 6 else index_args + (None, None))
         return retrieve_on_device(tpp, vectors, labels, ids, exclude_ids,

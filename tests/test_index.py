@@ -392,3 +392,40 @@ def test_chunked_add_internal_batching(rng):
     assert idx.ntotal == 250
     got = idx.reconstruct_batch(np.arange(250))
     np.testing.assert_allclose(got, x, rtol=1e-6)
+
+
+def test_sq8_fused_rerank_path(rng):
+    """SQ8 search with the fused rerank kernel (interpret mode) matches
+    the XLA fallback formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from radad_tpu.index import quantized as qmod
+    from radad_tpu.ops import rerank as rerank_mod
+
+    n, d, b, k = 600, 256, 8, 5
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    idx = qmod.QuantizedIndex(d, "L2")
+    idx.add(x, (rng.random(n) > 0.5).astype(np.float32),
+            [f"f{i}" for i in range(n)])
+    d_ref, i_ref = idx.search(q, k)  # codes3 is None on CPU → XLA path
+    assert idx.codes3 is None
+
+    cap = idx.codes.shape[0]
+    codes3 = jnp.reshape(idx.codes, (cap, d // 128, 128))
+    orig = rerank_mod.exact_dot
+    rerank_mod.exact_dot = lambda q3, x3, ii: orig(q3, x3, ii,
+                                                   interpret=True)
+    try:
+        d_fast, i_fast, _ = qmod._sq8_search(
+            jnp.asarray(q), idx.codes, idx.scales, idx.norm_sq, idx.ids,
+            jnp.full((b,), -2, jnp.int32), k, metric="L2", n_valid=n,
+            codes3=codes3)
+    finally:
+        rerank_mod.exact_dot = orig
+    i_fast = np.asarray(i_fast)
+    for row in range(b):
+        assert set(i_fast[row]) == set(i_ref[row]), row
+    np.testing.assert_allclose(np.sort(np.asarray(d_fast), 1),
+                               np.sort(d_ref, 1), rtol=1e-4, atol=1e-4)
