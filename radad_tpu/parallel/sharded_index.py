@@ -89,12 +89,22 @@ def sharded_retrieve(
     *,
     k: int,
     metric: str = "L2",
+    centroids: Optional[jnp.ndarray] = None,  # [nlist, D] — replicated
+    cells: Optional[jnp.ndarray] = None,  # [cap] i32 — sharded over 'index'
+    nprobe: int = 32,
 ) -> ShardedRetrieval:
     """Exact top-k over the sharded database; recall@k == 1.0 vs the
     single-device scan by construction (per-shard exact top-k + global
-    merge cannot drop a true neighbor: each shard contributes its best k)."""
+    merge cannot drop a true neighbor: each shard contributes its best k).
 
-    def shard_fn(q_loc, v_loc, lab_loc, ids_loc, valid_loc, excl_loc):
+    With ``centroids``/``cells`` the scan restricts to each query's
+    ``nprobe`` nearest coarse cells (IVF mode, index/flat.py parity): the
+    probe-cell selection uses the replicated centroids so every shard
+    masks against the SAME cell set — the candidate set is identical to
+    the single-chip masked-scan IVF."""
+
+    def shard_fn(q_loc, v_loc, lab_loc, ids_loc, valid_loc, excl_loc,
+                 *ivf_args):
         rows_per_shard = v_loc.shape[0]
         shard_i = jax.lax.axis_index(INDEX_AXIS)
         scores = _local_scores(q_loc, v_loc, metric)  # [b, rows]
@@ -104,6 +114,17 @@ def sharded_retrieve(
         excl_all = jax.lax.all_gather(excl_loc, DATA_AXIS).reshape(-1)
         row_excl = jnp.any(ids_loc[:, None] == excl_all[None, :], axis=1)
         mask = ((~valid_loc) | row_excl)[None, :]
+        if ivf_args:
+            cents, cells_loc = ivf_args
+            qc = (jnp.sum(q_loc ** 2, -1, keepdims=True)
+                  - 2.0 * q_loc @ cents.T
+                  + jnp.sum(cents ** 2, -1)[None, :])  # [b, nlist]
+            nprobe_eff = min(nprobe, cents.shape[0])
+            _, probe_cells = jax.lax.top_k(-qc, nprobe_eff)
+            probe_mask = jnp.any(
+                cells_loc[None, :, None] == probe_cells[:, None, :],
+                axis=-1)  # [b, rows]
+            mask = mask | ~probe_mask
         scores = jnp.where(mask, -jnp.inf, scores)
         vals, loc_idx = jax.lax.top_k(scores, k)  # [b, k]
         gidx = shard_i * rows_per_shard + loc_idx
@@ -117,17 +138,22 @@ def sharded_retrieve(
         return _merge_shard_candidates(vals, gidx, cand_vecs, cand_labs,
                                        k, metric)
 
+    in_specs = [P(DATA_AXIS, None), P(INDEX_AXIS, None), P(INDEX_AXIS),
+                P(INDEX_AXIS), P(INDEX_AXIS), P(DATA_AXIS)]
+    args = [q, vectors, labels, ids, row_valid, exclude_ids]
+    if centroids is not None:
+        in_specs += [P(), P(INDEX_AXIS)]
+        args += [centroids, cells]
     out = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(INDEX_AXIS, None), P(INDEX_AXIS),
-                  P(INDEX_AXIS), P(INDEX_AXIS), P(DATA_AXIS)),
+        in_specs=tuple(in_specs),
         out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None),
                    P(DATA_AXIS, None), P(DATA_AXIS, None)),
         # outputs are replicated along 'index' by construction (identical
         # post-all_gather merge on every shard); the static checker can't
         # prove that, so disable varying-axis checking for this map.
         check_vma=False,
-    )(q, vectors, labels, ids, row_valid, exclude_ids)
+    )(*args)
     return ShardedRetrieval(*out)
 
 

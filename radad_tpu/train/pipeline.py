@@ -136,15 +136,6 @@ class DetectionPipeline:
         self.model = build_radad_model(config, self.tpp_dim)
         metric = config.vector_db_index_type.upper()
         self.is_quantized = metric == "SQ8"
-        if metric == "IVF" and mesh is not None:
-            # Loud, not silent (VERDICT r1 weak #3): the sharded retrieve
-            # path is an exact flat scan per shard and has no probe masking,
-            # so an IVF index on a mesh would silently change semantics.
-            raise NotImplementedError(
-                "IVF index + mesh sharding is not supported: the ICI-sharded "
-                "retrieve is an exact per-shard flat scan (no nprobe cell "
-                "masking). Use L2/IP/COSINE (exact) or SQ8 (int8) with a "
-                "mesh, or drop the mesh for IVF.")
         if self.is_quantized:
             from radad_tpu.index.quantized import QuantizedIndex
 
@@ -202,6 +193,11 @@ class DetectionPipeline:
         else:
             self.index.vectors = jax.device_put(self.index.vectors, row)
             self.index.norms_sq = jax.device_put(self.index.norms_sq, vec)
+            if self.index.metric == "IVF" and self.index.cells is not None:
+                rep = NamedSharding(self.mesh, P())
+                self.index.cells = jax.device_put(self.index.cells, vec)
+                self.index.centroids = jax.device_put(
+                    self.index.centroids, rep)
         self.index.labels = jax.device_put(self.index.labels, vec)
         self.index.ids = jax.device_put(self.index.ids, vec)
 
@@ -223,9 +219,11 @@ class DetectionPipeline:
                 return base  # sharded retrieve takes the canonical arrays
             return base + (self.index.codes3,)
         if self.mesh is not None:
-            # The sharded retrieve path takes the canonical arrays only.
-            return (self.index.vectors, self.index.labels, self.index.ids,
+            base = (self.index.vectors, self.index.labels, self.index.ids,
                     self.index.norms_sq)
+            if self.index.metric == "IVF":
+                return base + (self.index.centroids, self.index.cells)
+            return base
         return (self.index.vectors, self.index.labels, self.index.ids,
                 self.index.norms_sq, self.index.scan_bf16,
                 self.index.gather3)
@@ -427,10 +425,13 @@ class DetectionPipeline:
                     return jnp.nan_to_num(ret.neighbors), ret.labels
                 from radad_tpu.parallel.sharded_index import sharded_retrieve
 
-                vectors, labels, ids, _xsq = index_args
+                vectors, labels, ids, _xsq = index_args[:4]
+                cents, cells = (index_args[4:6] if len(index_args) == 6
+                                else (None, None))
                 ret = sharded_retrieve(
                     mesh, tpp, vectors, labels, ids, ids >= 0, exclude_ids,
-                    k=k, metric=metric)
+                    k=k, metric=metric, centroids=cents, cells=cells,
+                    nprobe=self.index.nprobe if cents is not None else 32)
                 return jnp.nan_to_num(ret.neighbors), ret.labels
             neighbors, nlabels, dists, idx = retrieve(
                 index_args, tpp, exclude_ids,
@@ -446,8 +447,12 @@ class DetectionPipeline:
             bsh = NamedSharding(mesh, P(DATA_AXIS))
             row = NamedSharding(mesh, P(INDEX_AXIS, None))
             vec = NamedSharding(mesh, P(INDEX_AXIS))
-            idx_sh = ((row, vec, vec, vec, vec) if self.is_quantized
-                      else (row, vec, vec, vec))
+            if self.is_quantized:
+                idx_sh = (row, vec, vec, vec, vec)
+            elif self.index.metric == "IVF":
+                idx_sh = (row, vec, vec, vec, rep, vec)
+            else:
+                idx_sh = (row, vec, vec, vec)
             train_shardings = dict(
                 in_shardings=(rep, rep, rep, idx_sh,
                               bsh, bsh, bsh, bsh, None, None),

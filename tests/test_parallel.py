@@ -329,11 +329,70 @@ def test_sq8_pipeline_on_mesh(mesh24, synthetic_dataset):
     assert np.isfinite(metrics["val_loss"])
 
 
-def test_ivf_mesh_raises(mesh24):
-    """IVF + mesh must fail loudly, not silently degrade (VERDICT r1 #6)."""
+def test_sharded_ivf_matches_single_chip(mesh24, rng):
+    """IVF × mesh (upgrades the r1 silent-degradation/loud-error item):
+    per-shard probe-masked scan returns the same neighbors as the
+    single-chip masked-scan IVF — identical candidate set by construction
+    (replicated centroids → same probed cells on every shard)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from radad_tpu.index.flat import FlatIndex
+    from radad_tpu.parallel.mesh import INDEX_AXIS
+    from radad_tpu.parallel.sharded_index import sharded_retrieve
+
+    n, d, b, k = 500, 32, 8, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    labels = (rng.random(n) > 0.5).astype(np.float32)
+    paths = [f"f{i}.wav" for i in range(n)]
+    q = rng.standard_normal((b, d)).astype(np.float32)
+
+    ivf = FlatIndex(d, "IVF", nlist=16, nprobe=8, use_pallas=False)
+    ivf.add(vecs, labels, paths)
+    d_ref, i_ref = ivf.search(q, k)
+
+    row = NamedSharding(mesh24, P(INDEX_AXIS, None))
+    vec = NamedSharding(mesh24, P(INDEX_AXIS))
+    rep = NamedSharding(mesh24, P())
+    ret = sharded_retrieve(
+        mesh24, jnp.asarray(q),
+        jax.device_put(ivf.vectors, row),
+        jax.device_put(ivf.labels, vec),
+        jax.device_put(ivf.ids, vec),
+        jax.device_put(ivf.ids >= 0, vec),
+        jnp.full((b,), -2, jnp.int32),
+        k=k, metric="L2",
+        centroids=jax.device_put(ivf.centroids, rep),
+        cells=jax.device_put(ivf.cells, vec),
+        nprobe=8)
+    i_got = np.asarray(ret.indices)
+    for r in range(b):
+        assert set(i_got[r]) == set(i_ref[r]), r
+    np.testing.assert_allclose(np.sort(np.asarray(ret.dists), 1),
+                               np.sort(d_ref, 1), rtol=1e-4, atol=1e-4)
+
+
+def test_ivf_pipeline_on_mesh(mesh24, synthetic_dataset):
+    """DetectionPipeline(IVF) composes with a mesh end-to-end."""
     from radad_tpu.config import Config
+    from radad_tpu.data.manifest import load_manifests
+    from radad_tpu.models.encoder import FrozenEncoder
+    from radad_tpu.models.wav2vec2 import Wav2Vec2Config, init_params
     from radad_tpu.train.pipeline import DetectionPipeline
 
-    cfg = Config().replace(vector_db_index_type="IVF")
-    with pytest.raises(NotImplementedError, match="IVF index \\+ mesh"):
-        DetectionPipeline(cfg, mesh=mesh24)
+    acfg = Wav2Vec2Config(
+        hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=32, conv_dim=(8, 8), conv_kernel=(10, 8),
+        conv_stride=(5, 4), num_conv_pos_embeddings=8,
+        num_conv_pos_embedding_groups=2)
+    enc = FrozenEncoder(name="wav2vec2", model_name="tiny", arch_cfg=acfg,
+                        params=init_params(jax.random.PRNGKey(0), acfg),
+                        pretrained=False, layers_to_use=(-1,))
+    cfg = Config().replace(
+        vector_db_index_type="IVF", vector_db_nlist=8, vector_db_nprobe=4,
+        num_epochs=1, batch_size=8, eval_batch_size=8, use_layer_norm=True,
+        use_batch_norm=False, data_root="/tmp/ivf_mesh_run", top_k=3,
+        train_data_path=synthetic_dataset, test_data_path=synthetic_dataset)
+    splits = load_manifests(synthetic_dataset, data_fraction=1.0,
+                            train_split=0.8, seed=42)
+    pipe = DetectionPipeline(cfg, encoder=enc, mesh=mesh24)
+    metrics = pipe.train(splits["train"], splits["val"])
+    assert np.isfinite(metrics["val_loss"])
