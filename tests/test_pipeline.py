@@ -277,7 +277,7 @@ def test_predict_exclusion_wipe_fallback(trained, tmp_path):
     one.add(emb[:1], [1.0], [src], ids=[file_id(src)])
     old_index = pipe.index
     pipe.index = one
-    pipe._fb_cache.clear()
+    pipe._predict_cache.clear()
     try:
         result = pipe.predict(src)
         # fallback kicked in: the one (self) row is returned as neighbor
@@ -285,4 +285,23 @@ def test_predict_exclusion_wipe_fallback(trained, tmp_path):
         assert np.isfinite(result["logit"])
     finally:
         pipe.index = old_index
-        pipe._fb_cache.clear()
+        pipe._predict_cache.clear()
+
+
+def test_early_stopping(synthetic_dataset, tiny_encoder, tmp_path):
+    """early_stopping_patience is honored (the reference defines the knob,
+    config.py:71, but never reads it): lr=0 → no improvement after the
+    first validated epoch → stop after `patience` stale epochs."""
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    root = str(tmp_path)
+    cfg = Config().replace(
+        data_root=root, train_data_path=synthetic_dataset,
+        vector_db_path=os.path.join(root, "vdb"),
+        batch_size=8, eval_batch_size=8, db_batch_size=8,
+        num_epochs=8, early_stopping_patience=1,
+        learning_rate=0.0, use_layer_norm=True, use_batch_norm=False)
+    splits = load_manifests(synthetic_dataset)
+    pipe = DetectionPipeline(cfg, encoder=tiny_encoder)
+    pipe.train(splits["train"], splits["val"])
+    assert len(pipe.writer.rows) < 8  # stopped early
