@@ -188,6 +188,22 @@ class WandbShim:
         except Exception:  # pragma: no cover
             return None
 
+    def log_artifact(self, path: str, name: str, kind: str = "model"
+                     ) -> None:
+        """Upload a file as a wandb Artifact (reference pipeline.py:884-896
+        logs the trained model + curve PNGs as artifacts). No-op when wandb
+        is absent/offline or the file is missing."""
+        if self.run is None or not os.path.exists(path):
+            return
+        try:
+            import wandb
+
+            art = wandb.Artifact(name, type=kind)
+            art.add_file(path)
+            self.run.log_artifact(art)
+        except Exception:  # pragma: no cover
+            pass
+
     def finish(self) -> None:
         if self.run is not None:
             try:

@@ -679,6 +679,17 @@ class DetectionPipeline:
 
         self.save_models("final_model")
         self.writer.save_summary()
+        # wandb artifact parity (reference pipeline.py:884-896): trained
+        # model + training curves + metrics table.
+        root = self.config.data_root
+        self.wandb.log_artifact(
+            os.path.join(root, "models", "final_model_radad.npz"),
+            "final_model", "model")
+        self.wandb.log_artifact(
+            os.path.join(root, "training_curves.png"), "training_curves",
+            "plot")
+        self.wandb.log_artifact(
+            os.path.join(root, "metrics.csv"), "metrics", "metrics")
         self.wandb.finish()
         return self.writer.rows[-1] if self.writer.rows else {}
 
