@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference behavior; default caches them)")
     p.add_argument("--use_float16", action="store_true",
                    help="store the vector DB in bf16 (FAISS fp16 analogue)")
+    p.add_argument("--resume", action="store_true",
+                   help="train mode: resume from the final_model checkpoint "
+                        "(params + optimizer state + step; the reference "
+                        "cannot resume — its checkpoints are bare "
+                        "state_dicts, pipeline.py:1112-1134)")
     return p
 
 
@@ -136,6 +141,14 @@ def main(argv=None) -> int:
             cfg.train_data_path, data_fraction=cfg.data_fraction,
             train_split=cfg.train_split, seed=cfg.random_seed)
         print_dataset_statistics(splits)
+        if args.resume:
+            if pipeline.load_models(args.model_prefix):
+                pipeline.load_vector_database()
+                logging.info("resumed from %s at step %d",
+                             args.model_prefix, pipeline.step)
+            else:
+                logging.warning("--resume: no checkpoint found, "
+                                "training from scratch")
         pipeline.train(splits["train"], splits["val"])
 
     elif args.mode == "evaluate":

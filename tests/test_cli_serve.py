@@ -199,3 +199,25 @@ def test_concurrent_predicts_batched(server, synthetic_dataset):
         assert status == 200 and d["ok"], (fname, d)
         assert d["prediction"] in ("spoof", "bona-fide")
         assert all(n["file"] != fname for n in d["neighbors"])
+
+
+def test_cli_train_resume(cli_run, synthetic_dataset, monkeypatch_encoder):
+    """--resume continues from the final_model checkpoint with optimizer
+    state + step (the reference cannot resume, pipeline.py:1112-1134)."""
+    import json
+
+    from radad_tpu import cli
+
+    root = cli_run
+    with open(os.path.join(root, "models",
+                           "final_model_radad.npz.meta.json")) as f:
+        step_before = json.load(f)["step"]
+    rc = cli.main([
+        "--mode", "train", "--data_path", synthetic_dataset,
+        "--data_root", root, "--batch_size", "8", "--eval_batch_size", "8",
+        "--db_batch_size", "8", "--epochs", "1", "--resume"])
+    assert rc == 0
+    with open(os.path.join(root, "models",
+                           "final_model_radad.npz.meta.json")) as f:
+        step_after = json.load(f)["step"]
+    assert step_after > step_before  # step counter carried across resume
