@@ -49,15 +49,18 @@ _PAD = 1024  # capacity quantum: keeps search shapes stable across small adds
 _LANES = 128  # TPU lane width: tile size for the hierarchical k-select
 
 
-def _accel_eligible(dimension: int, use_float16: bool) -> bool:
+def _accel_eligible(dimension: int, use_float16: bool = False) -> bool:
     """The two-stage fast-exact path (bf16 scan + fused Pallas rerank)
-    needs lane-aligned rows, f32 storage, and a real TPU backend."""
+    needs lane-aligned rows and a real TPU backend. Works for both f32
+    and bf16 (use_float16) storage — the rerank is exact w.r.t. the
+    STORED rows either way (``use_float16`` is accepted for signature
+    stability; both storage modes are eligible)."""
+    del use_float16
     try:
         backend = jax.default_backend()
     except Exception:  # pragma: no cover - no devices at all
         return False
-    return (dimension % _LANES == 0 and not use_float16
-            and backend == "tpu")
+    return dimension % _LANES == 0 and backend == "tpu"
 
 
 def _round_up(n: int, m: int = _PAD) -> int:
@@ -205,12 +208,16 @@ class FlatIndex:
         self.labels = _dus(self.labels, jnp.asarray(lab, jnp.float32), start)
         self.ids = _dus(self.ids, jnp.asarray(idc, jnp.int32), start)
         if self.scan_bf16 is not None:
-            self.scan_bf16 = _dus(self.scan_bf16, dev.astype(jnp.bfloat16),
-                                  start)
-            self.gather3 = _dus(
-                self.gather3,
-                dev.astype(jnp.float32).reshape(m, self.dimension // _LANES,
-                                                _LANES), start)
+            if not self.use_float16:  # bf16 storage shares self.vectors
+                self.scan_bf16 = _dus(self.scan_bf16,
+                                      dev.astype(jnp.bfloat16), start)
+            else:
+                self.scan_bf16 = self.vectors
+            sub_pad = self.gather3.shape[1]
+            rows3 = jnp.pad(
+                dev, ((0, 0), (0, sub_pad * _LANES - self.dimension))
+            ).reshape(m, sub_pad, _LANES)
+            self.gather3 = _dus(self.gather3, rows3, start)
         self.n = need
 
     def _install(self, vecs: np.ndarray, labels: np.ndarray, ids: np.ndarray) -> None:
@@ -237,12 +244,20 @@ class FlatIndex:
         # numpy oracle, asserted in bench.py).
         self.scan_bf16: Optional[jnp.ndarray] = None
         self.gather3: Optional[jnp.ndarray] = None
-        if _accel_eligible(self.dimension, self.use_float16):
-            from radad_tpu.ops.gather import to_gather_layout
-
-            self.scan_bf16 = jax.jit(
-                lambda v: v.astype(jnp.bfloat16))(self.vectors)
-            self.gather3 = jax.jit(to_gather_layout)(self.vectors)
+        if _accel_eligible(self.dimension):
+            # bf16 storage: the stored array IS the scan copy, and the
+            # gather source stays bf16 (rerank casts rows to f32 in VMEM —
+            # exact w.r.t. the stored rounded vectors, the mode's
+            # contract). Sub-f32 dtypes need the gather-layout sublane dim
+            # padded to a multiple of 8 (Mosaic DMA slice alignment).
+            self.scan_bf16 = (self.vectors if self.use_float16 else jax.jit(
+                lambda v: v.astype(jnp.bfloat16))(self.vectors))
+            sub = self.dimension // _LANES
+            sub_pad = sub if not self.use_float16 else ((sub + 7) // 8) * 8
+            self.gather3 = jax.jit(
+                lambda v: jnp.pad(
+                    v, ((0, 0), (0, (sub_pad - sub) * _LANES))
+                ).reshape(v.shape[0], sub_pad, _LANES))(self.vectors)
         if self.metric == "IVF" and self.n:
             self._train_ivf(vecs)
 
@@ -487,8 +502,11 @@ def _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k, larger_better):
 
     cand_vals, cand_rows = _hier_candidates(scores, k)
     safe = jnp.clip(cand_rows, 0, cap - 1)
-    qc = exact_dot(q.reshape(b, d // _LANES, _LANES).astype(jnp.float32),
-                   gather3, safe)
+    sub_pad = gather3.shape[1]  # D padded up for sub-f32 sublane alignment
+    q3 = jnp.pad(q.astype(jnp.float32),
+                 ((0, 0), (0, sub_pad * _LANES - d))
+                 ).reshape(b, sub_pad, _LANES)
+    qc = exact_dot(q3, gather3, safe)
     if larger_better:
         exact = qc
     else:
@@ -552,7 +570,7 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
             cells[None, :, None] == probe_cells[:, None, :], axis=-1)  # [B, cap]
 
     if (exact and scan_bf16 is not None and gather3 is not None
-            and xsq is not None and vectors.dtype == jnp.float32):
+            and xsq is not None):
         # Fast-exact path: bf16 scan + fused Pallas rerank (TPU only; the
         # accelerator arrays exist only when _accel_eligible said so).
         mask = invalid_row[None, :] | excl

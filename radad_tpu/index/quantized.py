@@ -44,9 +44,10 @@ def quantize_rows(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return codes, scale.astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("k", "metric", "n_valid"))
+@partial(jax.jit, static_argnames=("k", "metric", "n_valid",
+                                   "exclude_mode"))
 def _sq8_search(q, v_codes, v_scale, v_norm_sq, ids, exclude_ids, k, *,
-                metric, n_valid, codes3=None):
+                metric, n_valid, codes3=None, exclude_mode="batch"):
     """int8 MXU scan + f32 rerank of dequantized candidates.
 
     Two rerank formulations:
@@ -82,9 +83,14 @@ def _sq8_search(q, v_codes, v_scale, v_norm_sq, ids, exclude_ids, k, *,
         scores = -(qsq - 2.0 * qx + v_norm_sq[None, :])
 
     row = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
-    # batch-global exclusion (reference parity, pipeline.py:461-463)
-    row_excl = jnp.any(ids[:, None] == exclude_ids[None, :], axis=1)
-    mask = ((row >= n_valid) | row_excl)[None, :]
+    invalid = (row >= n_valid)[None, :]
+    if exclude_mode == "batch":
+        # batch-global exclusion (reference parity, pipeline.py:461-463)
+        row_excl = jnp.any(ids[:, None] == exclude_ids[None, :], axis=1)
+        mask = invalid | row_excl[None, :]
+    else:  # "self": each query excludes only its own file (predict_batch —
+        # independent requests must not exclude each other's files)
+        mask = invalid | (ids[None, :] == exclude_ids[:, None])
     scores = jnp.where(mask, -jnp.inf, scores)
     hi = jax.lax.Precision.HIGHEST
 
@@ -136,7 +142,8 @@ def _sq8_search(q, v_codes, v_scale, v_norm_sq, ids, exclude_ids, k, *,
 
 
 def retrieve_on_device_sq8(tpp, codes, scales, norm_sq, labels, ids,
-                           exclude_ids, *, k, metric, n_valid, codes3=None):
+                           exclude_ids, *, k, metric, n_valid, codes3=None,
+                           exclude_mode="batch"):
     """In-graph SQ8 retrieval with the same contract as
     ``radad_tpu.train.pipeline.retrieve_on_device``: → (neighbors [B,k,D]
     dequantized, labels [B,k], dists [B,k], idx [B,k])."""
@@ -145,7 +152,8 @@ def retrieve_on_device_sq8(tpp, codes, scales, norm_sq, labels, ids,
         q = q / jnp.maximum(jnp.linalg.norm(q, -1, keepdims=True), 1e-12)
     dists, idx, neighbors = _sq8_search(
         q, codes, scales, norm_sq, ids, exclude_ids, k,
-        metric=metric, n_valid=n_valid, codes3=codes3)
+        metric=metric, n_valid=n_valid, codes3=codes3,
+        exclude_mode=exclude_mode)
     safe = jnp.maximum(idx, 0)
     nlabels = jnp.where(idx >= 0,
                         jnp.take(labels, safe.reshape(-1)).reshape(idx.shape),

@@ -103,13 +103,17 @@ def retrieve_on_device(tpp, vectors, labels, ids, exclude_ids, *, k, metric,
         use_pallas=False, exclude_mode=exclude_mode, xsq=xsq,
         scan_bf16=scan_bf16, gather3=gather3)
     safe = jnp.maximum(idx, 0).astype(jnp.int32)
+    d = vectors.shape[-1]
     if gather3 is not None:
         from radad_tpu.ops.gather import gather_rows
 
-        neighbors = gather_rows(gather3, safe.reshape(-1))
+        # gather3 may be column-padded (sub-f32 sublane alignment) and in
+        # the storage dtype; trim and upcast.
+        neighbors = gather_rows(gather3, safe.reshape(-1))[:, :d]
+        neighbors = neighbors.astype(jnp.float32)
     else:
         neighbors = jnp.take(vectors, safe.reshape(-1), axis=0)
-    neighbors = neighbors.reshape(idx.shape + (vectors.shape[-1],))
+    neighbors = neighbors.reshape(idx.shape + (d,))
     ok = (idx >= 0)[..., None]
     neighbors = jnp.where(ok, neighbors, 0.0)
     nlabels = jnp.where(idx >= 0,
@@ -240,7 +244,8 @@ class DetectionPipeline:
                 else index_args + (None,))
             return retrieve_on_device_sq8(
                 tpp, codes, scales, norm_sq, labels, ids, exclude_ids,
-                k=k, metric="L2", n_valid=n_valid, codes3=codes3)
+                k=k, metric="L2", n_valid=n_valid, codes3=codes3,
+                exclude_mode=exclude_mode)
         vectors, labels, ids, xsq, scan_bf16, gather3 = (
             index_args if len(index_args) == 6 else index_args + (None, None))
         return retrieve_on_device(tpp, vectors, labels, ids, exclude_ids,

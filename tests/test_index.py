@@ -429,3 +429,79 @@ def test_sq8_fused_rerank_path(rng):
         assert set(i_fast[row]) == set(i_ref[row]), row
     np.testing.assert_allclose(np.sort(np.asarray(d_fast), 1),
                                np.sort(d_ref, 1), rtol=1e-4, atol=1e-4)
+
+
+def test_fast_exact_search_bf16_storage(rng):
+    """use_float16 (bf16 storage) fast path: interpret-mode fused rerank
+    matches the non-accelerated bf16 search (exact w.r.t. stored rounded
+    rows), including the column-padded gather layout."""
+    import jax.numpy as jnp
+
+    from radad_tpu.index import flat as flat_mod
+    from radad_tpu.ops import rerank as rerank_mod
+
+    n, d, b, k = 500, 256, 8, 5
+    cap = 1024
+    x = np.zeros((cap, d), np.float32)
+    x[:n] = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    ids = np.full((cap,), -1, np.int32)
+    ids[:n] = np.arange(n)
+
+    xd = jnp.asarray(x, jnp.bfloat16)  # bf16 storage
+    xsq = jnp.sum(jnp.square(xd.astype(jnp.float32)), -1)
+    sub, sub_pad = d // 128, 8
+    gather3 = jnp.pad(xd, ((0, 0), (0, (sub_pad - sub) * 128))
+                      ).reshape(cap, sub_pad, 128)
+    orig = rerank_mod.exact_dot
+    rerank_mod.exact_dot = lambda q3, x3, ii: orig(q3, x3, ii,
+                                                   interpret=True)
+    try:
+        d_fast, i_fast = flat_mod._search_device(
+            jnp.asarray(q), xd, jnp.asarray(ids),
+            jnp.full((b,), -2, jnp.int32), k,
+            metric="L2", n_valid=n, xsq=xsq,
+            scan_bf16=xd, gather3=gather3)
+    finally:
+        rerank_mod.exact_dot = orig
+    d_ref, i_ref = flat_mod._search_device(
+        jnp.asarray(q), xd, jnp.asarray(ids),
+        jnp.full((b,), -2, jnp.int32), k,
+        metric="L2", n_valid=n, xsq=xsq)
+    i_fast, i_ref = np.asarray(i_fast), np.asarray(i_ref)
+    for row in range(b):
+        assert set(i_fast[row]) == set(i_ref[row]), row
+    np.testing.assert_allclose(np.asarray(d_fast), np.asarray(d_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_sq8_exclude_mode_self(rng):
+    """SQ8 per-row ('self') exclusion: each query masks only its own file
+    (predict_batch semantics — independent requests must not exclude each
+    other's rows; 'batch' mode would wipe all queried files for everyone)."""
+    import jax.numpy as jnp
+
+    from radad_tpu.index.quantized import QuantizedIndex, _sq8_search
+
+    n, d, b, k = 60, 32, 4, 3
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = QuantizedIndex(d, "L2")
+    idx.add(x, np.zeros(n, np.float32), [f"f{i}" for i in range(n)],
+            ids=list(range(n)))
+    # query rows 0..3 with their own ids excluded per-row
+    q = jnp.asarray(x[:b])
+    excl = jnp.arange(b, dtype=jnp.int32)
+    _, i_self, _ = _sq8_search(q, idx.codes, idx.scales, idx.norm_sq,
+                               idx.ids, excl, k, metric="L2", n_valid=n,
+                               exclude_mode="self")
+    i_self = np.asarray(i_self)
+    for r in range(b):
+        assert r not in i_self[r]  # own row excluded
+    # row 1 may appear in row 0's neighbors under self mode (it was only
+    # excluded for query 1); under batch mode it may not for anyone
+    _, i_batch, _ = _sq8_search(q, idx.codes, idx.scales, idx.norm_sq,
+                                idx.ids, excl, k, metric="L2", n_valid=n,
+                                exclude_mode="batch")
+    i_batch = np.asarray(i_batch)
+    for r in range(b):
+        assert not (set(i_batch[r]) & set(range(b)))
