@@ -37,8 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--audio_path", type=str, default=None,
                    help="Audio file for predict mode")
     p.add_argument("--max_duration", type=float, default=None,
-                   help="Predict mode: analyze up to this many seconds "
-                        "instead of the reference's 3 s truncation")
+                   help="Analyze up to this many seconds per clip instead "
+                        "of the reference's hard 3 s truncation. In "
+                        "train/evaluate modes this enables the long-audio "
+                        "pipeline (valid-window-masked TPP mean); in "
+                        "predict mode it applies per call.")
     p.add_argument("--feature_extractor", type=str, default="wav2vec2",
                    help="whisper, wavlm, or wav2vec2")
     p.add_argument("--wandb", action="store_true",
@@ -107,6 +110,11 @@ def config_from_args(args) -> "Config":
         over["vector_db_index_type"] = args.index_type.upper()
     if args.seed is not None:
         over["random_seed"] = args.seed
+    if args.max_duration is not None and args.mode != "predict":
+        # Long-audio mode for train/evaluate: lift the reference's hard 3 s
+        # truncation (dataset.py:143); see Config.max_duration. In predict
+        # mode the flag stays a per-call argument (no config change).
+        over["max_duration"] = args.max_duration
     return cfg.replace(**over)
 
 

@@ -43,6 +43,17 @@ class Config:
     clip_duration: float = 3.0  # hard truncation used by the loader (dataset.py:143)
     segment_length: float = 2.0
     segment_overlap: float = 0.5
+    # Long-audio mode (no reference counterpart — the reference hard-
+    # truncates every clip to clip_duration, dataset.py:143-148, losing
+    # everything past 3 s). When set, DB build / training / evaluation
+    # analyze each clip up to max_duration seconds: batches pad to the fixed
+    # max length (static shapes, one compile) and each clip's TPP embedding
+    # is the mean over only its VALID windows — windows whose start lies
+    # inside the real audio — so the zero-pad tail never dilutes the
+    # embedding. Also tightens sub-clip_duration clips: a 1 s clip
+    # contributes 1 window instead of the reference's 2 (the second being
+    # pure padding). None = reference parity.
+    max_duration: Optional[float] = None
 
     # --- Encoders (reference config.py:42-45) ---
     feature_extractor_type: str = "wav2vec2"  # {"wav2vec2", "whisper", "wavlm"}
@@ -153,6 +164,16 @@ class Config:
     @property
     def hop_samples(self) -> int:
         return int(self.segment_samples * (1 - self.segment_overlap))
+
+    @property
+    def analysis_duration(self) -> float:
+        """Seconds of audio actually analyzed per clip (max_duration when
+        the long-audio mode is on, clip_duration otherwise)."""
+        return self.max_duration if self.max_duration else self.clip_duration
+
+    @property
+    def analysis_samples(self) -> int:
+        return int(self.analysis_duration * self.sample_rate)
 
     @property
     def num_segments(self) -> int:

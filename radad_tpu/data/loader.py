@@ -34,6 +34,11 @@ class Batch:
     valid: np.ndarray  # [B] bool — False on zero-padded tail rows
     paths: tuple
     speakers: tuple
+    # True (pre-padding) sample count per clip, capped at clip_samples.
+    # Consumed by the long-audio mode's valid-window masking
+    # (config.max_duration; make_embed_fn lengths arg); ignored in the
+    # reference-parity path, where every clip is exactly clip_samples.
+    lengths: np.ndarray = None  # [B] i32
 
     @property
     def num_valid(self) -> int:
@@ -45,11 +50,15 @@ def _decode_batch(manifest: Manifest, idx: np.ndarray, batch_size: int,
                   pool: ThreadPoolExecutor) -> Batch:
     clip = int(duration * sample_rate)
     audio = np.zeros((batch_size, clip), np.float32)
+    # pad=False so each clip's true length survives into Batch.lengths (the
+    # zero-filled batch array supplies the padding identically).
     waves = list(pool.map(
         lambda i: load_audio(manifest.paths[i], sample_rate=sample_rate,
-                             duration=duration), idx))
+                             duration=duration, pad=False), idx))
+    lengths = np.full((batch_size,), clip, np.int32)
     for row, w in enumerate(waves):
         audio[row, :len(w)] = w[:clip]
+        lengths[row] = min(len(w), clip)
     labels = np.zeros((batch_size,), np.float32)
     ids = np.full((batch_size,), -1, np.int32)
     valid = np.zeros((batch_size,), bool)
@@ -60,7 +69,7 @@ def _decode_batch(manifest: Manifest, idx: np.ndarray, batch_size: int,
     speakers = tuple(manifest.speakers[i] for i in idx) + \
         ("",) * (batch_size - len(idx))
     return Batch(audio=audio, labels=labels, ids=ids, valid=valid,
-                 paths=paths, speakers=speakers)
+                 paths=paths, speakers=speakers, lengths=lengths)
 
 
 def iterate_batches(

@@ -68,15 +68,32 @@ def make_embed_fn(encoder: FrozenEncoder, config: Config):
     The reference's ``process_audio_batch`` (pipeline.py:392-414) runs
     segment→encode→pool per clip in Python; here the whole batch×segment
     grid is one traced program (segments fold into the batch axis).
+
+    ``lengths [B] i32`` (optional, long-audio mode — config.max_duration):
+    true per-clip sample counts. Window i is valid iff its start lies inside
+    the real audio (``i * hop < length``), and the clip embedding is the
+    mean over valid windows only, so the zero-pad tail of a batch padded to
+    a common max length never dilutes the TPP vector. With lengths=None the
+    reference's semantics apply: every window of the fixed-length clip
+    counts (pipeline.py:409-412), including pure-padding ones.
     """
 
-    def embed(enc_params, audio: jnp.ndarray) -> jnp.ndarray:
+    def embed(enc_params, audio: jnp.ndarray,
+              lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         segs = segment_audio(audio, config.segment_samples,
                              config.hop_samples)  # [B, S, L]
         feats = encoder.segment_features(enc_params, segs)  # [B, S, T, D]
         tpp = temporal_pyramid_pool(
             feats, config.tpp_levels, config.tpp_pooling_type)  # [B, S, 7D]
-        return jnp.mean(tpp, axis=1).astype(jnp.float32)  # mean over windows
+        if lengths is None:
+            return jnp.mean(tpp, axis=1).astype(jnp.float32)  # all windows
+        s = tpp.shape[1]
+        n_valid = jnp.clip(  # ceil(length / hop), window i valid iff i*hop < length
+            (lengths.astype(jnp.int32) + config.hop_samples - 1)
+            // config.hop_samples, 1, s)  # [B]
+        mask = (jnp.arange(s)[None, :] < n_valid[:, None])  # [B, S]
+        num = jnp.sum(tpp * mask[..., None].astype(tpp.dtype), axis=1)
+        return (num / n_valid[:, None].astype(num.dtype)).astype(jnp.float32)
 
     return embed
 
@@ -274,8 +291,9 @@ class DetectionPipeline:
         model = self.model
 
         @jax.jit
-        def fn(enc_params, index_args, variables, audio, exclude_ids):
-            tpp = embed(enc_params, audio)
+        def fn(enc_params, index_args, variables, audio, exclude_ids,
+               lengths=None):
+            tpp = embed(enc_params, audio, lengths)
             first = retrieve(index_args, tpp, exclude_ids, k=k,
                              metric=metric, n_valid=n_valid,
                              exclude_mode=exclude_mode)
@@ -325,10 +343,11 @@ class DetectionPipeline:
         else:
             for batch in iterate_batches(
                     manifest, batch_size, sample_rate=cfg.sample_rate,
-                    duration=cfg.clip_duration, shuffle=shuffle, seed=seed,
-                    prefetch=cfg.host_prefetch):
-                tpp = self._embed(self.encoder.params,
-                                  jnp.asarray(batch.audio))
+                    duration=cfg.analysis_duration, shuffle=shuffle,
+                    seed=seed, prefetch=cfg.host_prefetch):
+                tpp = self._embed(
+                    self.encoder.params, jnp.asarray(batch.audio),
+                    jnp.asarray(batch.lengths) if cfg.max_duration else None)
                 yield (tpp,) + self._shard_batch(
                     batch.labels, batch.ids, batch.valid)
 
@@ -353,12 +372,13 @@ class DetectionPipeline:
         for batch in _progress(
                 iterate_batches(
                     manifest, cfg.db_batch_size, sample_rate=cfg.sample_rate,
-                    duration=cfg.clip_duration, shuffle=False,
+                    duration=cfg.analysis_duration, shuffle=False,
                     prefetch=cfg.host_prefetch),
                 total=-(-len(manifest) // cfg.db_batch_size),
                 desc="Embedding"):
-            chunks.append(
-                self._embed(self.encoder.params, jnp.asarray(batch.audio)))
+            chunks.append(self._embed(
+                self.encoder.params, jnp.asarray(batch.audio),
+                jnp.asarray(batch.lengths) if cfg.max_duration else None))
             valids.append(batch.valid)
         emb = np.asarray(jnp.concatenate(chunks, axis=0))  # single sync
         emb = emb[np.concatenate(valids)]
@@ -771,21 +791,28 @@ class DetectionPipeline:
         cfg = self.config
         self._ensure_model_state()
         if max_duration is None:
+            max_duration = cfg.max_duration
+        lengths = None
+        if max_duration is None:
             wave = load_audio(audio_path, sample_rate=cfg.sample_rate,
                               duration=cfg.clip_duration)
         else:
             wave = load_audio(audio_path, sample_rate=cfg.sample_rate,
                               duration=max_duration, pad=False)
             # bucket to a multiple of the training clip length (min 1 clip)
+            # and mean-pool over only the windows that touch real audio —
+            # the bucket's zero-pad tail never dilutes the embedding.
             bucket = cfg.clip_samples
+            true_len = max(len(wave), 1)
             target = max(bucket, ((len(wave) + bucket - 1) // bucket) * bucket)
             wave = np.pad(wave, (0, target - len(wave)))
+            lengths = jnp.asarray([true_len], jnp.int32)
         audio = jnp.asarray(wave[None])
         exclude = jnp.asarray([file_id(audio_path)], jnp.int32)
         if self.index.ntotal == 0:
             # Empty DB → zero neighbors (pipeline.py:465-476 contract).
             logger.warning("predict called with an empty vector DB")
-            tpp = self._embed(self.encoder.params, audio)
+            tpp = self._embed(self.encoder.params, audio, lengths)
             neighbors = jnp.zeros((1, cfg.top_k, self.tpp_dim))
             nlabels = jnp.zeros((1, cfg.top_k))
             dists = jnp.full((1, cfg.top_k), jnp.nan)
@@ -798,7 +825,7 @@ class DetectionPipeline:
             logits, nlabels, dists, idx = self._predict_graph(
                 metric, self.index.ntotal, cfg.top_k)(
                 self.encoder.params, self._index_args(), self.variables,
-                audio, exclude)
+                audio, exclude, lengths)
         logit = float(np.asarray(logits).reshape(-1)[0])
         prob_spoof = float(jax.nn.sigmoid(logit))
         idx_np = np.asarray(idx)[0]
