@@ -46,13 +46,16 @@ class Config:
     # Long-audio mode (no reference counterpart — the reference hard-
     # truncates every clip to clip_duration, dataset.py:143-148, losing
     # everything past 3 s). When set, DB build / training / evaluation
-    # analyze each clip up to max_duration seconds: batches pad to the fixed
-    # max length (static shapes, one compile) and each clip's TPP embedding
-    # is the mean over only its VALID windows — windows whose start lies
-    # inside the real audio — so the zero-pad tail never dilutes the
-    # embedding. Also tightens sub-clip_duration clips: a 1 s clip
-    # contributes 1 window instead of the reference's 2 (the second being
-    # pure padding). None = reference parity.
+    # analyze each clip up to max_duration seconds: batches pad to a fixed
+    # window-grid length (static shapes, one compile) and each clip's TPP
+    # embedding is the mean over only its VALID windows — the
+    # ceil(true_length / hop) windows that contain real audio, the last
+    # zero-padded past the clip end exactly like the reference's tail
+    # windows (segmenter.py:33-38) — so pure-padding windows never dilute
+    # the embedding and the count is invariant to the padded batch length.
+    # Also tightens sub-clip_duration clips: a 1 s clip contributes 1
+    # window instead of the reference's 2 (the second being pure padding).
+    # None = reference parity.
     max_duration: Optional[float] = None
 
     # --- Encoders (reference config.py:42-45) ---

@@ -47,9 +47,10 @@ class Batch:
 
 def _decode_batch(manifest: Manifest, idx: np.ndarray, batch_size: int,
                   sample_rate: int, duration: float,
-                  pool: ThreadPoolExecutor) -> Batch:
+                  pool: ThreadPoolExecutor,
+                  pad_to: Optional[int] = None) -> Batch:
     clip = int(duration * sample_rate)
-    audio = np.zeros((batch_size, clip), np.float32)
+    audio = np.zeros((batch_size, max(clip, pad_to or 0)), np.float32)
     # pad=False so each clip's true length survives into Batch.lengths (the
     # zero-filled batch array supplies the padding identically).
     waves = list(pool.map(
@@ -82,11 +83,15 @@ def iterate_batches(
     seed: int = 0,
     num_threads: int = 8,
     prefetch: int = 2,
+    pad_to: Optional[int] = None,
 ) -> Iterator[Batch]:
     """Yield fixed-size Batches covering the manifest once.
 
     Decode for batch i+1..i+prefetch overlaps device compute on batch i via
-    a small producer thread.
+    a small producer thread. ``pad_to``: widen the audio array beyond the
+    duration-derived length (long-audio mode pads to the window-grid cover
+    so every valid window exists in the layout; see
+    pipeline.grid_cover_samples).
     """
     order = np.arange(len(manifest))
     if shuffle:
@@ -104,7 +109,8 @@ def iterate_batches(
                 if stop.is_set():
                     return
                 q.put(_decode_batch(manifest, chunk, batch_size,
-                                    sample_rate, duration, pool))
+                                    sample_rate, duration, pool,
+                                    pad_to=pad_to))
         finally:
             q.put(None)
 

@@ -456,6 +456,9 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=5000)
     p.add_argument("--model_prefix", type=str, default="final_model")
     p.add_argument("--feature_extractor", type=str, default="wav2vec2")
+    p.add_argument("--max_duration", type=float, default=None,
+                   help="Analyze uploads/recordings up to this many seconds "
+                        "(long-audio mode) instead of the 3 s truncation")
     args = p.parse_args(argv)
 
     from radad_tpu.config import Config
@@ -465,6 +468,7 @@ def main(argv=None):
         data_root=args.data_root,
         vector_db_path=os.path.join(args.data_root, "vector_db"),
         feature_extractor_type=args.feature_extractor,
+        max_duration=args.max_duration,
         use_batch_norm=False, use_layer_norm=True)
     httpd = serve(cfg, host=args.host, port=args.port,
                   model_prefix=args.model_prefix)

@@ -70,12 +70,18 @@ def make_embed_fn(encoder: FrozenEncoder, config: Config):
     grid is one traced program (segments fold into the batch axis).
 
     ``lengths [B] i32`` (optional, long-audio mode — config.max_duration):
-    true per-clip sample counts. Window i is valid iff its start lies inside
-    the real audio (``i * hop < length``), and the clip embedding is the
-    mean over valid windows only, so the zero-pad tail of a batch padded to
-    a common max length never dilutes the TPP vector. With lengths=None the
-    reference's semantics apply: every window of the fixed-length clip
-    counts (pipeline.py:409-412), including pure-padding ones.
+    true per-clip sample counts. Window i is valid iff it contains real
+    audio (``i * hop < length``, i.e. ceil(length / hop) windows — the
+    last one zero-padded past the clip end, exactly like the reference's
+    tail windows, segmenter.py:33-38). The clip embedding is the mean over
+    valid windows only, so pure-padding windows of a batch padded to a
+    common max length never dilute the TPP vector. Callers pad layouts to
+    ``grid_cover_samples`` of their max length so every valid window
+    exists; then the count is layout-invariant and the same clip embeds
+    identically whatever fixed length its batch was padded to (training at
+    max_duration vs predict's 3 s-multiple buckets). With lengths=None the
+    reference's fixed-clip semantics apply: every window counts
+    (pipeline.py:409-412), including pure-padding ones.
     """
 
     def embed(enc_params, audio: jnp.ndarray,
@@ -88,7 +94,7 @@ def make_embed_fn(encoder: FrozenEncoder, config: Config):
         if lengths is None:
             return jnp.mean(tpp, axis=1).astype(jnp.float32)  # all windows
         s = tpp.shape[1]
-        n_valid = jnp.clip(  # ceil(length / hop), window i valid iff i*hop < length
+        n_valid = jnp.clip(  # ceil(length / hop): window i valid iff i*hop < length
             (lengths.astype(jnp.int32) + config.hop_samples - 1)
             // config.hop_samples, 1, s)  # [B]
         mask = (jnp.arange(s)[None, :] < n_valid[:, None])  # [B, S]
@@ -96,6 +102,18 @@ def make_embed_fn(encoder: FrozenEncoder, config: Config):
         return (num / n_valid[:, None].astype(num.dtype)).astype(jnp.float32)
 
     return embed
+
+
+def grid_cover_samples(samples: int, segment_samples: int,
+                       hop_samples: int) -> int:
+    """Smallest padded length whose window grid covers every window that
+    touches the first ``samples`` real samples: a length-N clip has
+    ceil(N / hop) such windows and the last one ends at
+    ``(ceil(N/hop) - 1) * hop + segment``. Padding any batch to this length
+    (for its max clip length) makes make_embed_fn's valid-window count
+    layout-invariant."""
+    n_win = max(1, -(-samples // hop_samples))
+    return (n_win - 1) * hop_samples + segment_samples
 
 
 def retrieve_on_device(tpp, vectors, labels, ids, exclude_ids, *, k, metric,
@@ -314,6 +332,16 @@ class DetectionPipeline:
         self._predict_cache[key] = fn
         return fn
 
+    def _grid_pad(self) -> Optional[int]:
+        """Long-audio batch layout: pad to the window-grid cover of
+        analysis_samples so every valid window exists (layout-invariant
+        embeddings); None (no extra padding) in reference-parity mode."""
+        cfg = self.config
+        if cfg.max_duration is None:
+            return None
+        return grid_cover_samples(cfg.analysis_samples, cfg.segment_samples,
+                                  cfg.hop_samples)
+
     def _query_batches(self, manifest: Manifest, batch_size: int, *,
                        shuffle: bool, seed: int = 0):
         """Yield (tpp, labels, ids, valid) fixed-size device batches.
@@ -344,7 +372,8 @@ class DetectionPipeline:
             for batch in iterate_batches(
                     manifest, batch_size, sample_rate=cfg.sample_rate,
                     duration=cfg.analysis_duration, shuffle=shuffle,
-                    seed=seed, prefetch=cfg.host_prefetch):
+                    seed=seed, prefetch=cfg.host_prefetch,
+                    pad_to=self._grid_pad()):
                 tpp = self._embed(
                     self.encoder.params, jnp.asarray(batch.audio),
                     jnp.asarray(batch.lengths) if cfg.max_duration else None)
@@ -373,7 +402,7 @@ class DetectionPipeline:
                 iterate_batches(
                     manifest, cfg.db_batch_size, sample_rate=cfg.sample_rate,
                     duration=cfg.analysis_duration, shuffle=False,
-                    prefetch=cfg.host_prefetch),
+                    prefetch=cfg.host_prefetch, pad_to=self._grid_pad()),
                 total=-(-len(manifest) // cfg.db_batch_size),
                 desc="Embedding"):
             chunks.append(self._embed(
@@ -799,12 +828,15 @@ class DetectionPipeline:
         else:
             wave = load_audio(audio_path, sample_rate=cfg.sample_rate,
                               duration=max_duration, pad=False)
-            # bucket to a multiple of the training clip length (min 1 clip)
-            # and mean-pool over only the windows that touch real audio —
-            # the bucket's zero-pad tail never dilutes the embedding.
+            # bucket to a multiple of the training clip length (min 1 clip),
+            # pad to that bucket's window-grid cover, and mean-pool over
+            # only the windows that touch real audio — the zero-pad tail
+            # never dilutes the embedding.
             bucket = cfg.clip_samples
             true_len = max(len(wave), 1)
-            target = max(bucket, ((len(wave) + bucket - 1) // bucket) * bucket)
+            target = grid_cover_samples(
+                max(bucket, ((len(wave) + bucket - 1) // bucket) * bucket),
+                cfg.segment_samples, cfg.hop_samples)
             wave = np.pad(wave, (0, target - len(wave)))
             lengths = jnp.asarray([true_len], jnp.int32)
         audio = jnp.asarray(wave[None])
@@ -855,16 +887,34 @@ class DetectionPipeline:
         """Batched predict: one device call for many clips (the reference
         only exposes single-clip predict, pipeline.py:1038; its
         detection_model.predict_batch_proba helper never reaches the CLI).
-        Returns one payload per path with the same keys as ``predict``."""
+        Returns one payload per path with the same keys as ``predict``.
+
+        Honors ``config.max_duration`` (long-audio mode): clips load up to
+        the lifted limit, the batch pads to the fixed max length, and
+        per-clip valid-window masking keeps the padding out of the TPP
+        mean — same semantics as training."""
         cfg = self.config
         self._ensure_model_state()
-        waves = np.stack([
-            load_audio(p, sample_rate=cfg.sample_rate,
-                       duration=cfg.clip_duration) for p in audio_paths])
+        lengths = None
+        if cfg.max_duration is None:
+            waves = np.stack([
+                load_audio(p, sample_rate=cfg.sample_rate,
+                           duration=cfg.clip_duration) for p in audio_paths])
+        else:
+            raw = [load_audio(p, sample_rate=cfg.sample_rate,
+                              duration=cfg.max_duration, pad=False)
+                   for p in audio_paths]
+            waves = np.zeros((len(raw), self._grid_pad()), np.float32)
+            for row, w in enumerate(raw):
+                waves[row, :len(w)] = w
+            lengths = jnp.asarray(
+                [max(min(len(w), cfg.analysis_samples), 1) for w in raw],
+                jnp.int32)
         exclude = jnp.asarray([file_id(p) for p in audio_paths], jnp.int32)
         b = len(audio_paths)
         if self.index.ntotal == 0:
-            tpp = self._embed(self.encoder.params, jnp.asarray(waves))
+            tpp = self._embed(self.encoder.params, jnp.asarray(waves),
+                              lengths)
             neighbors = jnp.zeros((b, cfg.top_k, self.tpp_dim))
             nlabels = jnp.zeros((b, cfg.top_k))
             dists = jnp.full((b, cfg.top_k), jnp.nan)
@@ -881,7 +931,7 @@ class DetectionPipeline:
                 metric, self.index.ntotal, cfg.top_k,
                 exclude_mode="self")(
                 self.encoder.params, self._index_args(), self.variables,
-                jnp.asarray(waves), exclude)
+                jnp.asarray(waves), exclude, lengths)
         logits_np = np.asarray(logits).reshape(-1)
         idx_np = np.asarray(idx)
         nlab_np = np.asarray(nlabels)

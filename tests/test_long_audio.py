@@ -55,11 +55,14 @@ def test_full_length_mask_is_identity(tiny_encoder):
 
 def test_masked_mean_equals_truncated_grid(tiny_encoder):
     """A 4 s clip inside a 6 s batch, masked, must equal the unmasked embed
-    of the same clip padded only to its own window cover (5 s grid):
-    the valid windows are sample-identical in both layouts."""
+    of the same clip padded to exactly its own window cover: the valid
+    windows (ceil(64000/16000) = 4, the last zero-padded past the clip end)
+    are sample-identical in both layouts."""
+    from radad_tpu.train.pipeline import grid_cover_samples
+
     embed, cfg = _embed_fn(tiny_encoder, max_duration=6.0)
     sr, hop, seg = cfg.sample_rate, cfg.hop_samples, cfg.segment_samples
-    true_len = 4 * sr  # n_valid = ceil(64000/16000) = 4 windows
+    true_len = 4 * sr
     rng = np.random.default_rng(1)
     wave = rng.standard_normal(true_len).astype(np.float32)
 
@@ -68,12 +71,21 @@ def test_masked_mean_equals_truncated_grid(tiny_encoder):
     got = embed(tiny_encoder.params, jnp.asarray(padded6),
                 jnp.asarray([true_len], jnp.int32))
 
-    cover = 3 * hop + seg  # end of window 3 = 80000 ⇒ exactly 4 windows
+    cover = grid_cover_samples(true_len, seg, hop)  # 3*16000+32000 = 80000
+    assert cover == 3 * hop + seg
     padded_cover = np.zeros((1, cover), np.float32)
     padded_cover[0, :true_len] = wave
     want = embed(tiny_encoder.params, jnp.asarray(padded_cover))
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # layout invariance: a 7.5 s layout gives the identical embedding
+    padded75 = np.zeros((1, 120000), np.float32)
+    padded75[0, :true_len] = wave
+    got2 = embed(tiny_encoder.params, jnp.asarray(padded75),
+                 jnp.asarray([true_len], jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(got2),
                                rtol=1e-5, atol=1e-5)
 
 
@@ -152,3 +164,13 @@ def test_long_audio_training_end_to_end(synthetic_dataset, tiny_encoder,
     assert long_rows, "synthetic dataset should contain >3 s clips"
     diffs = np.abs(emb_long[long_rows] - emb_parity[long_rows]).max(axis=1)
     assert (diffs > 1e-6).all()
+
+    # batched predict (the serving path) honors config.max_duration and
+    # agrees with single-clip predict on the same files
+    paths = list(splits["val"].paths[:2])
+    batched = pipe.predict_batch(paths)
+    for p, r in zip(paths, batched):
+        single = pipe.predict(p)
+        assert r["prediction"] == single["prediction"]
+        np.testing.assert_allclose(r["logit"], single["logit"],
+                                   rtol=1e-4, atol=1e-5)
