@@ -65,32 +65,53 @@ def self_attention(
     num_heads: int,
     *,
     bias_term: Optional[jnp.ndarray] = None,
+    bias_factors: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Multi-head self-attention matching HF's eager path
     (modeling_wav2vec2.py ``eager_attention_forward``): q is pre-scaled by
-    head_dim**-0.5, logits optionally add ``bias_term [B, H, T, T]``,
-    softmax in f32.
+    head_dim**-0.5, logits optionally add ``bias_term [B, H, T, T]`` or its
+    factored form ``bias_factors = (gate [B, T, H], pos_bias [H, T, T])``
+    (WavLM's gated relative position bias), softmax in f32.
+
+    The default path is plain XLA — measured fastest at the encoders'
+    shapes. ``RADAD_FUSED_ATTENTION=1`` opts into the layout-preserving
+    Pallas kernel (radad_tpu.ops.attention), which measured ~2× slower
+    here (see that module's docstring for numbers) but avoids ever
+    materializing [B,H,T,T] logits in HBM.
 
     ``p``: {"qw","qb","kw","kb","vw","vb","ow","ob"}; "kb" may be None
     (Whisper's k_proj has no bias).
     """
+    from radad_tpu.ops.attention import (fused_mha, mha_reference,
+                                         use_fused_attention)
+
     b, t, d = x.shape
     head_dim = d // num_heads
     scaling = head_dim ** -0.5
 
+    q = linear(x, p["qw"], p["qb"]) * jnp.asarray(scaling, x.dtype)
+    k = linear(x, p["kw"], p.get("kb"))
+    v = linear(x, p["vw"], p["vb"])
+
+    if bias_term is None and use_fused_attention(t, d):
+        gate, pos = bias_factors if bias_factors is not None else (None, None)
+        ctx = fused_mha(q, k, v, num_heads, gate=gate, pos_bias=pos)
+        return linear(ctx, p["ow"], p["ob"])
+
+    if bias_factors is not None:
+        gate, pos = bias_factors
+        ctx = mha_reference(q, k, v, num_heads, gate=gate, pos_bias=pos)
+        return linear(ctx, p["ow"], p["ob"])
+
     def split(h):  # [B, T, D] -> [B, H, T, hd]
         return h.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
 
-    q = split(linear(x, p["qw"], p["qb"])) * jnp.asarray(scaling, x.dtype)
-    k = split(linear(x, p["kw"], p.get("kb")))
-    v = split(linear(x, p["vw"], p["vb"]))
-
-    logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
+    logits = jnp.einsum("bhtd,bhsd->bhts", split(q), split(k),
                         preferred_element_type=jnp.float32)
     if bias_term is not None:
         logits = logits + bias_term.astype(jnp.float32)
     weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhts,bhsd->bhtd", weights, v,
+    ctx = jnp.einsum("bhts,bhsd->bhtd", weights, split(v),
                      preferred_element_type=x.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, d)
     return linear(ctx, p["ow"], p["ob"])
@@ -102,11 +123,13 @@ def feed_forward(x: jnp.ndarray, p: dict, act=gelu) -> jnp.ndarray:
 
 
 def post_ln_layer(x: jnp.ndarray, p: dict, num_heads: int, eps: float,
-                  bias_term: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  bias_term: Optional[jnp.ndarray] = None,
+                  bias_factors: Optional[tuple] = None) -> jnp.ndarray:
     """Post-LN encoder layer (Wav2Vec2/WavLM base,
     modeling_wav2vec2.py Wav2Vec2EncoderLayer.forward):
     x = LN(x + attn(x)); x = LN2(x + ffn(x))."""
-    h = x + self_attention(x, p["attn"], num_heads, bias_term=bias_term)
+    h = x + self_attention(x, p["attn"], num_heads, bias_term=bias_term,
+                           bias_factors=bias_factors)
     h = layer_norm(h, p["ln1"]["scale"], p["ln1"]["bias"], eps)
     h = h + feed_forward(h, p["ffn"])
     return layer_norm(h, p["ln2"]["scale"], p["ln2"]["bias"], eps)

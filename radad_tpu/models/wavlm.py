@@ -81,19 +81,23 @@ def relative_position_buckets(seq_len: int, num_buckets: int,
     return buckets  # [T, T] in [0, num_buckets)
 
 
-def _gated_bias(x: jnp.ndarray, layer_p: dict, pos_bias: jnp.ndarray,
-                num_heads: int) -> jnp.ndarray:
-    """Per-layer gate applied to the shared [H, T, T] position bias."""
+def _gated_bias_factors(x: jnp.ndarray, layer_p: dict,
+                        num_heads: int) -> jnp.ndarray:
+    """Per-layer gate for the shared [H, T, T] position bias, in the
+    transpose-free [B, T, H] layout (the bias itself is
+    ``gate[b, t, h] * pos_bias[h, t, s]``). The factored form lets the
+    opt-in Pallas attention kernel fuse the product into the logits in
+    VMEM; on the default XLA path the product is materialized per layer
+    but fused by XLA at no measured cost (radad_tpu.ops.attention)."""
     b, t, d = x.shape
     head_dim = d // num_heads
-    gate_in = x.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
-    proj = C.linear(gate_in, layer_p["gate_w"], layer_p["gate_b"])  # [B,H,T,8]
-    proj = proj.reshape(b, num_heads, t, 2, 4).sum(-1)  # [B,H,T,2]
+    gate_in = x.reshape(b, t, num_heads, head_dim)  # [B,T,H,hd]
+    proj = C.linear(gate_in, layer_p["gate_w"], layer_p["gate_b"])  # [B,T,H,8]
+    proj = proj.reshape(b, t, num_heads, 2, 4).sum(-1)  # [B,T,H,2]
     gates = jax.nn.sigmoid(proj)
-    gate_a, gate_b = gates[..., 0], gates[..., 1]  # [B,H,T]
-    const = layer_p["gate_const"].reshape(1, num_heads, 1).astype(x.dtype)
-    gate = gate_a * (gate_b * const - 1.0) + 2.0  # [B,H,T]
-    return gate[..., None] * pos_bias[None]  # [B,H,T,T]
+    gate_a, gate_b = gates[..., 0], gates[..., 1]  # [B,T,H]
+    const = layer_p["gate_const"].reshape(1, 1, num_heads).astype(x.dtype)
+    return gate_a * (gate_b * const - 1.0) + 2.0  # [B,T,H]
 
 
 def encode(params: dict, waveform: jnp.ndarray, cfg: WavLMConfig,
@@ -116,9 +120,10 @@ def encode(params: dict, waveform: jnp.ndarray, cfg: WavLMConfig,
     pos_bias = pos_bias.transpose(2, 0, 1).astype(dtype)  # [H, T, T]
 
     def layer_fn(h, p):
-        bias = _gated_bias(h, p, pos_bias, cfg.num_attention_heads)
+        gate = _gated_bias_factors(h, p, cfg.num_attention_heads)
         return C.post_ln_layer(h, p, cfg.num_attention_heads,
-                               cfg.layer_norm_eps, bias_term=bias)
+                               cfg.layer_norm_eps,
+                               bias_factors=(gate, pos_bias))
 
     final, inputs = C.scan_layers(x, params["layers"], layer_fn,
                                   collect_hidden=True)
