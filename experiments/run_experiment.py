@@ -48,6 +48,12 @@ def main():
     p.add_argument("--data_fraction", type=float, default=1.0)
     p.add_argument("--weights_dir", default=None)
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="use_mixed_precision=True: encoder forward in "
+                        "bfloat16 (compute_dtype) — measured 1.69x encoder "
+                        "throughput on v5e; this flag exists to record the "
+                        "metric delta vs the f32 default (reference AMP "
+                        "flag: config.py:73-87)")
     p.add_argument("--whisper_fast", action="store_true",
                    help="whisper_pad_seconds=None: encode only the real "
                         "frames instead of padding every segment to 30 s "
@@ -78,6 +84,7 @@ def main():
         batch_size=args.batch_size, eval_batch_size=args.batch_size,
         db_batch_size=64, use_batch_norm=False, use_layer_norm=True,
         usewandb=args.wandb,
+        use_mixed_precision=args.mixed_precision,
         whisper_pad_seconds=None if args.whisper_fast else 30.0)
 
     splits = load_manifests(
@@ -101,6 +108,7 @@ def main():
         "name": name,
         "encoder": args.encoder,
         "whisper_fast": bool(args.whisper_fast),
+        "mixed_precision": bool(args.mixed_precision),
         "pretrained_weights": encoder.pretrained,
         "data_fraction": data_fraction,
         "epochs": epochs,

@@ -110,6 +110,110 @@ def _find_local_checkpoint(model_name: str, weights_dir: Optional[str]):
     return None
 
 
+# Architecture presets for well-known HF model ids (matched on the id's
+# basename). The reference gets size-variant support for free from HF
+# transformers (any name set on config.{wav2vec2,wavlm,whisper}_model_name,
+# /root/reference/config.py:42-45, resolves to the right architecture);
+# here the same holds via these presets or, preferably, the checkpoint's
+# own config.json (see resolve_arch_config).
+_LARGE_STABLE = dict(hidden_size=1024, num_hidden_layers=24,
+                     num_attention_heads=16, intermediate_size=4096,
+                     feat_extract_norm="layer", conv_bias=True,
+                     do_stable_layer_norm=True)
+_PRESETS = {
+    "wav2vec2": {
+        "wav2vec2-base": {}, "wav2vec2-base-960h": {},
+        # original large: post-LN, group-norm frontend
+        "wav2vec2-large-960h": dict(hidden_size=1024, num_hidden_layers=24,
+                                    num_attention_heads=16,
+                                    intermediate_size=4096),
+        # lv60 / robust / xlsr family: pre-LN, per-layer-LN frontend
+        "wav2vec2-large-960h-lv60": _LARGE_STABLE,
+        "wav2vec2-large-960h-lv60-self": _LARGE_STABLE,
+        "wav2vec2-large-robust": _LARGE_STABLE,
+        "wav2vec2-large-xlsr-53": _LARGE_STABLE,
+    },
+    "wavlm": {
+        "wavlm-base": {}, "wavlm-base-plus": {}, "wavlm-base-sv": {},
+        "wavlm-base-plus-sv": {},
+        "wavlm-large": _LARGE_STABLE,
+    },
+    "whisper": {
+        "whisper-tiny": dict(d_model=384, num_hidden_layers=4,
+                             num_attention_heads=6, ffn_dim=1536),
+        "whisper-base": {},
+        "whisper-small": dict(d_model=768, num_hidden_layers=12,
+                              num_attention_heads=12, ffn_dim=3072),
+        "whisper-medium": dict(d_model=1024, num_hidden_layers=24,
+                               num_attention_heads=16, ffn_dim=4096),
+        "whisper-large": dict(d_model=1280, num_hidden_layers=32,
+                              num_attention_heads=20, ffn_dim=5120),
+        "whisper-large-v2": dict(d_model=1280, num_hidden_layers=32,
+                                 num_attention_heads=20, ffn_dim=5120),
+        "whisper-large-v3": dict(d_model=1280, num_hidden_layers=32,
+                                 num_attention_heads=20, ffn_dim=5120,
+                                 num_mel_bins=128),
+    },
+}
+
+# HF config.json key → our arch-config field (None = same name).
+_HF_FIELD_MAP = {
+    "wav2vec2": {
+        "hidden_size": None, "num_hidden_layers": None,
+        "num_attention_heads": None, "intermediate_size": None,
+        "conv_dim": tuple, "conv_kernel": tuple, "conv_stride": tuple,
+        "conv_bias": None, "feat_extract_norm": None,
+        "num_conv_pos_embeddings": None,
+        "num_conv_pos_embedding_groups": None, "layer_norm_eps": None,
+        "do_stable_layer_norm": None,
+    },
+    "whisper": {
+        "d_model": None, "encoder_layers": "num_hidden_layers",
+        "encoder_attention_heads": "num_attention_heads",
+        "encoder_ffn_dim": "ffn_dim", "num_mel_bins": None,
+        "max_source_positions": None,
+    },
+}
+_HF_FIELD_MAP["wavlm"] = dict(_HF_FIELD_MAP["wav2vec2"],
+                              num_buckets=None,
+                              max_bucket_distance=None)
+
+
+def resolve_arch_config(kind: str, model_name: str,
+                        ckpt_path: Optional[str] = None):
+    """Architecture config for ``model_name``: the checkpoint's own
+    config.json when available (exact), else a preset matched on the id's
+    basename, else the base default with a loud warning for unknown
+    non-base names."""
+    cfg_cls = _REGISTRY[kind][0]
+    if ckpt_path:
+        cfg_json = os.path.join(os.path.dirname(ckpt_path), "config.json")
+        if os.path.exists(cfg_json):
+            import json
+            with open(cfg_json) as f:
+                hf = json.load(f)
+            fields = {f.name for f in dataclasses.fields(cfg_cls)}
+            kw = {}
+            for hf_key, target in _HF_FIELD_MAP[kind].items():
+                if hf_key not in hf:
+                    continue
+                if target is tuple:
+                    kw[hf_key] = tuple(hf[hf_key])
+                else:
+                    kw[target or hf_key] = hf[hf_key]
+            kw = {k: v for k, v in kw.items() if k in fields}
+            return cfg_cls(**kw)
+    base = model_name.split("/")[-1].lower()
+    preset = _PRESETS[kind].get(base)
+    if preset is not None:
+        return cfg_cls(**preset)
+    logger.warning(
+        "No architecture preset or config.json for %s %r — assuming the "
+        "base architecture. If this is a size variant, place the HF "
+        "config.json next to the checkpoint.", kind, model_name)
+    return cfg_cls()
+
+
 def build_encoder(config, *, weights_dir: Optional[str] = None,
                   seed: int = 0) -> FrozenEncoder:
     """Factory on ``config.feature_extractor_type`` (pipeline.py:54-65)."""
@@ -119,7 +223,6 @@ def build_encoder(config, *, weights_dir: Optional[str] = None,
             f"Unknown feature extractor type: {kind!r} "
             f"(expected one of {sorted(_REGISTRY)})")
     cfg_cls, init_fn, convert_fn = _REGISTRY[kind]
-    arch_cfg = cfg_cls()
     model_name = {
         "wav2vec2": config.wav2vec2_model_name,
         "wavlm": config.wavlm_model_name,
@@ -129,6 +232,7 @@ def build_encoder(config, *, weights_dir: Optional[str] = None,
     if weights_dir is None:
         weights_dir = os.path.join(config.data_root, "weights")
     ckpt = _find_local_checkpoint(model_name, weights_dir)
+    arch_cfg = resolve_arch_config(kind, model_name, ckpt)
     if ckpt is not None:
         logger.info("Loading %s weights from %s", kind, ckpt)
         sd = hf_convert.load_state_dict(ckpt)

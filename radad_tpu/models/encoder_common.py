@@ -136,12 +136,16 @@ def post_ln_layer(x: jnp.ndarray, p: dict, num_heads: int, eps: float,
 
 
 def pre_ln_layer(x: jnp.ndarray, p: dict, num_heads: int, eps: float,
-                 bias_term: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Pre-LN encoder layer (Whisper, modeling_whisper.py
-    WhisperEncoderLayer.forward): x += attn(LN(x)); x += ffn(LN2(x))."""
+                 bias_term: Optional[jnp.ndarray] = None,
+                 bias_factors: Optional[tuple] = None) -> jnp.ndarray:
+    """Pre-LN encoder layer (Whisper's WhisperEncoderLayer.forward, and the
+    ``do_stable_layer_norm=True`` large variants of Wav2Vec2/WavLM —
+    modeling_wav2vec2.py Wav2Vec2EncoderLayerStableLayerNorm):
+    x += attn(LN(x)); x += ffn(LN2(x))."""
     h = x + self_attention(
         layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], eps),
-        p["attn"], num_heads, bias_term=bias_term)
+        p["attn"], num_heads, bias_term=bias_term,
+        bias_factors=bias_factors)
     h = h + feed_forward(
         layer_norm(h, p["ln2"]["scale"], p["ln2"]["bias"], eps), p["ffn"])
     return h

@@ -104,12 +104,24 @@ def encode(params: dict, waveform: jnp.ndarray, cfg: Wav2Vec2Config,
 
     x = x + positional_conv(params["pos_conv"], x, cfg)
     enc_ln = params["encoder_ln"]
-    x = C.layer_norm(x, enc_ln["scale"], enc_ln["bias"], cfg.layer_norm_eps)
-
-    layer_fn = lambda h, p: C.post_ln_layer(
-        h, p, cfg.num_attention_heads, cfg.layer_norm_eps)
-    final, inputs = C.scan_layers(x, params["layers"], layer_fn,
-                                  collect_hidden=True)
+    if cfg.do_stable_layer_norm:
+        # Large variant (Wav2Vec2EncoderStableLayerNorm): pre-LN layers,
+        # encoder LN applied AFTER the stack; hidden states collect the
+        # pre-layer inputs, final entry is post-final-LN.
+        layer_fn = lambda h, p: C.pre_ln_layer(
+            h, p, cfg.num_attention_heads, cfg.layer_norm_eps)
+        final, inputs = C.scan_layers(x, params["layers"], layer_fn,
+                                      collect_hidden=True)
+        final = C.layer_norm(final, enc_ln["scale"], enc_ln["bias"],
+                             cfg.layer_norm_eps)
+    else:
+        # Base variant (Wav2Vec2Encoder): encoder LN BEFORE post-LN layers.
+        x = C.layer_norm(x, enc_ln["scale"], enc_ln["bias"],
+                         cfg.layer_norm_eps)
+        layer_fn = lambda h, p: C.post_ln_layer(
+            h, p, cfg.num_attention_heads, cfg.layer_norm_eps)
+        final, inputs = C.scan_layers(x, params["layers"], layer_fn,
+                                      collect_hidden=True)
     return jnp.concatenate([inputs, final[None]], axis=0)
 
 

@@ -50,6 +50,7 @@ class WavLMConfig:
     layer_norm_eps: float = 1e-5
     num_buckets: int = 320
     max_bucket_distance: int = 800
+    do_stable_layer_norm: bool = False  # True for wavlm-large (pre-LN)
 
     @property
     def feature_dim(self) -> int:
@@ -111,7 +112,10 @@ def encode(params: dict, waveform: jnp.ndarray, cfg: WavLMConfig,
     x = C.linear(x, fp["kernel"], fp["bias"])
     x = x + positional_conv(params["pos_conv"], x, cfg)
     enc_ln = params["encoder_ln"]
-    x = C.layer_norm(x, enc_ln["scale"], enc_ln["bias"], cfg.layer_norm_eps)
+    eps = cfg.layer_norm_eps
+    heads = cfg.num_attention_heads
+    if not cfg.do_stable_layer_norm:
+        x = C.layer_norm(x, enc_ln["scale"], enc_ln["bias"], eps)
 
     t = x.shape[1]
     buckets = jnp.asarray(relative_position_buckets(
@@ -119,14 +123,28 @@ def encode(params: dict, waveform: jnp.ndarray, cfg: WavLMConfig,
     pos_bias = params["rel_attn_embed"][buckets]  # [T, T, H]
     pos_bias = pos_bias.transpose(2, 0, 1).astype(dtype)  # [H, T, T]
 
-    def layer_fn(h, p):
-        gate = _gated_bias_factors(h, p, cfg.num_attention_heads)
-        return C.post_ln_layer(h, p, cfg.num_attention_heads,
-                               cfg.layer_norm_eps,
-                               bias_factors=(gate, pos_bias))
+    if cfg.do_stable_layer_norm:
+        # Large variant (WavLMEncoderLayerStableLayerNorm): pre-LN; the
+        # per-layer gate reads the SAME LN'd tensor the attention sees
+        # (HF computes it inside WavLMAttention from its input).
+        def layer_fn(h, p):
+            ln_x = C.layer_norm(h, p["ln1"]["scale"], p["ln1"]["bias"], eps)
+            gate = _gated_bias_factors(ln_x, p, heads)
+            h = h + C.self_attention(ln_x, p["attn"], heads,
+                                     bias_factors=(gate, pos_bias))
+            return h + C.feed_forward(
+                C.layer_norm(h, p["ln2"]["scale"], p["ln2"]["bias"], eps),
+                p["ffn"])
+    else:
+        def layer_fn(h, p):
+            gate = _gated_bias_factors(h, p, heads)
+            return C.post_ln_layer(h, p, heads, eps,
+                                   bias_factors=(gate, pos_bias))
 
     final, inputs = C.scan_layers(x, params["layers"], layer_fn,
                                   collect_hidden=True)
+    if cfg.do_stable_layer_norm:
+        final = C.layer_norm(final, enc_ln["scale"], enc_ln["bias"], eps)
     return jnp.concatenate([inputs, final[None]], axis=0)
 
 

@@ -166,3 +166,94 @@ def test_build_encoder_finds_weights_dir(tmp_path, rng, monkeypatch):
         assert enc.feature_dim == tiny_cfg.hidden_size
     finally:
         enc_mod._REGISTRY["wav2vec2"] = orig
+
+
+def test_wav2vec2_stable_layer_norm_parity(rng):
+    """Large-variant forward (do_stable_layer_norm=True: pre-LN layers,
+    per-layer-LN conv frontend, conv bias, encoder LN after the stack) vs
+    torch on a tiny config — the arch of wav2vec2-large-lv60/xlsr."""
+    from transformers import Wav2Vec2Config as HFCfg, Wav2Vec2Model
+    from radad_tpu.models.wav2vec2 import Wav2Vec2Config, encode
+    from radad_tpu.models.hf_convert import convert_wav2vec2
+
+    kw = dict(hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+              intermediate_size=64, conv_dim=(16, 16, 16),
+              conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
+              num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+              conv_bias=True)
+    tm = Wav2Vec2Model(HFCfg(feat_extract_norm="layer",
+                             do_stable_layer_norm=True,
+                             attn_implementation="eager", **kw)).eval()
+    cfg = Wav2Vec2Config(feat_extract_norm="layer",
+                         do_stable_layer_norm=True, **kw)
+    params = convert_wav2vec2(tm.state_dict(), cfg)
+    x = rng.standard_normal((2, 2000)).astype(np.float32)
+    with torch.no_grad():
+        out = tm(torch.from_numpy(x), output_hidden_states=True)
+    hs_t = np.stack([h.numpy() for h in out.hidden_states])
+    hs_j = np.asarray(encode(params, jnp.asarray(x), cfg))
+    assert hs_j.shape == hs_t.shape
+    np.testing.assert_allclose(hs_j, hs_t, atol=2e-5, rtol=1e-4)
+
+
+def test_wavlm_stable_layer_norm_parity(rng):
+    """wavlm-large arch: pre-LN with the gated rel-pos bias computed from
+    the LN'd attention input (HF WavLMEncoderLayerStableLayerNorm)."""
+    from transformers import WavLMConfig as HFCfg, WavLMModel
+    from radad_tpu.models.wavlm import WavLMConfig, encode
+    from radad_tpu.models.hf_convert import convert_wavlm
+
+    kw = dict(hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+              intermediate_size=64, conv_dim=(16, 16), conv_kernel=(10, 3),
+              conv_stride=(5, 2), num_conv_pos_embeddings=16,
+              num_conv_pos_embedding_groups=4, conv_bias=True)
+    tm = WavLMModel(HFCfg(feat_extract_norm="layer",
+                          do_stable_layer_norm=True,
+                          num_buckets=32, max_bucket_distance=50,
+                          **kw)).eval()
+    cfg = WavLMConfig(feat_extract_norm="layer", do_stable_layer_norm=True,
+                      num_buckets=32, max_bucket_distance=50, **kw)
+    params = convert_wavlm(tm.state_dict(), cfg)
+    x = rng.standard_normal((2, 1600)).astype(np.float32)
+    with torch.no_grad():
+        out = tm(torch.from_numpy(x), output_hidden_states=True)
+    hs_t = np.stack([h.numpy() for h in out.hidden_states])
+    hs_j = np.asarray(encode(params, jnp.asarray(x), cfg))
+    np.testing.assert_allclose(hs_j, hs_t, atol=2e-5, rtol=1e-4)
+
+
+def test_resolve_arch_config_presets_and_config_json(tmp_path):
+    """Size variants resolve by preset basename; a checkpoint-side
+    config.json wins over the preset (the reference gets this from HF
+    transformers for any config.*_model_name, config.py:42-45)."""
+    import json
+    from radad_tpu.models.encoder import resolve_arch_config
+
+    large = resolve_arch_config("wavlm", "microsoft/wavlm-large")
+    assert (large.hidden_size, large.num_hidden_layers,
+            large.do_stable_layer_norm) == (1024, 24, True)
+
+    small = resolve_arch_config("whisper", "openai/whisper-small")
+    assert (small.d_model, small.num_hidden_layers) == (768, 12)
+
+    base = resolve_arch_config("wav2vec2", "facebook/wav2vec2-base-960h")
+    assert (base.hidden_size, base.do_stable_layer_norm) == (768, False)
+
+    # unknown name falls back to base with a warning
+    unk = resolve_arch_config("wav2vec2", "someone/custom-w2v2")
+    assert unk.hidden_size == 768
+
+    # config.json next to the checkpoint is authoritative
+    ckpt = tmp_path / "pytorch_model.bin"
+    ckpt.write_bytes(b"")
+    (tmp_path / "config.json").write_text(json.dumps({
+        "hidden_size": 96, "num_hidden_layers": 5,
+        "num_attention_heads": 8, "intermediate_size": 384,
+        "conv_dim": [64, 64], "conv_kernel": [10, 3],
+        "conv_stride": [5, 2], "conv_bias": True,
+        "feat_extract_norm": "layer", "do_stable_layer_norm": True,
+        "num_buckets": 64, "max_bucket_distance": 100}))
+    got = resolve_arch_config("wavlm", "someone/custom", str(ckpt))
+    assert (got.hidden_size, got.num_hidden_layers, got.conv_dim,
+            got.num_buckets, got.do_stable_layer_norm) == (
+        96, 5, (64, 64), 64, True)
