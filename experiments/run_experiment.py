@@ -38,7 +38,7 @@ def main():
     p.add_argument("--data_path", required=True,
                    help="dir with meta.csv + audio files")
     p.add_argument("--encoder", default="wav2vec2",
-                   choices=["wav2vec2", "wavlm", "whisper"])
+                   choices=["wav2vec2", "wavlm", "whisper", "hubert"])
     p.add_argument("--name", default=None, help="experiment name")
     p.add_argument("--data_root", default=None, help="output root")
     p.add_argument("--pipeline_check", action="store_true",

@@ -43,7 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "pipeline (valid-window-masked TPP mean); in "
                         "predict mode it applies per call.")
     p.add_argument("--feature_extractor", type=str, default="wav2vec2",
-                   help="whisper, wavlm, or wav2vec2")
+                   help="whisper, wavlm, wav2vec2, or hubert")
     p.add_argument("--wandb", action="store_true",
                    help="Enable Weights & Biases logging")
     p.add_argument("--data_path", type=str, default=None,

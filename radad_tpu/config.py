@@ -59,10 +59,15 @@ class Config:
     max_duration: Optional[float] = None
 
     # --- Encoders (reference config.py:42-45) ---
-    feature_extractor_type: str = "wav2vec2"  # {"wav2vec2", "whisper", "wavlm"}
+    # {"wav2vec2", "whisper", "wavlm"} (reference factory, pipeline.py:54-65)
+    # + "hubert" (TPU-build extension: identical architecture family to
+    # wav2vec2 — HF HubertModel state dicts are key-identical — so it runs
+    # on the same JAX module with its own checkpoint, torch-parity tested).
+    feature_extractor_type: str = "wav2vec2"
     wav2vec2_model_name: str = "facebook/wav2vec2-base-960h"
     whisper_model_name: str = "openai/whisper-base"
     wavlm_model_name: str = "microsoft/wavlm-base"
+    hubert_model_name: str = "facebook/hubert-base-ls960"
     wav2vec2_layers_to_use: Tuple[int, ...] = (-4, -3, -2, -1)
     # Whisper pads every segment to 30 s before the mel transform (HF
     # WhisperFeatureExtractor behavior the reference inherits,

@@ -62,7 +62,9 @@ class FrozenEncoder:
         """
         lead = segments.shape[:-1]
         flat = segments.reshape((-1, segments.shape[-1]))
-        if self.name == "wav2vec2":
+        if self.name in ("wav2vec2", "hubert"):
+            # hubert: same architecture family (HF HubertModel state dicts
+            # are key-identical to Wav2Vec2Model), same layer-select mean.
             feats = wav2vec2.extract_features(
                 params, flat, self.arch_cfg, self.layers_to_use,
                 dtype=self.compute_dtype)
@@ -85,6 +87,11 @@ _REGISTRY = {
     "wavlm": (wavlm.WavLMConfig, wavlm.init_params, hf_convert.convert_wavlm),
     "whisper": (whisper.WhisperConfig, whisper.init_params,
                 hf_convert.convert_whisper_encoder),
+    # Extension beyond the reference's 3-way factory: HuBERT is
+    # architecturally the wav2vec2 family (identical state-dict keys and
+    # forward, torch-parity tested in tests/test_encoders.py).
+    "hubert": (wav2vec2.Wav2Vec2Config, wav2vec2.init_params,
+               hf_convert.convert_wav2vec2),
 }
 
 
@@ -138,6 +145,13 @@ _PRESETS = {
         "wavlm-base-plus-sv": {},
         "wavlm-large": _LARGE_STABLE,
     },
+    "hubert": {
+        "hubert-base-ls960": {},
+        "hubert-large-ls960-ft": _LARGE_STABLE,
+        "hubert-xlarge-ls960-ft": dict(_LARGE_STABLE, hidden_size=1280,
+                                       num_hidden_layers=48,
+                                       intermediate_size=5120),
+    },
     "whisper": {
         "whisper-tiny": dict(d_model=384, num_hidden_layers=4,
                              num_attention_heads=6, ffn_dim=1536),
@@ -177,6 +191,7 @@ _HF_FIELD_MAP = {
 _HF_FIELD_MAP["wavlm"] = dict(_HF_FIELD_MAP["wav2vec2"],
                               num_buckets=None,
                               max_bucket_distance=None)
+_HF_FIELD_MAP["hubert"] = _HF_FIELD_MAP["wav2vec2"]
 
 
 def resolve_arch_config(kind: str, model_name: str,
@@ -226,6 +241,8 @@ def build_encoder(config, *, weights_dir: Optional[str] = None,
     model_name = {
         "wav2vec2": config.wav2vec2_model_name,
         "wavlm": config.wavlm_model_name,
+        "hubert": getattr(config, "hubert_model_name",
+                          "facebook/hubert-base-ls960"),
         "whisper": config.whisper_model_name,
     }[kind]
 

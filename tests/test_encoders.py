@@ -257,3 +257,47 @@ def test_resolve_arch_config_presets_and_config_json(tmp_path):
     assert (got.hidden_size, got.num_hidden_layers, got.conv_dim,
             got.num_buckets, got.do_stable_layer_norm) == (
         96, 5, (64, 64), 64, True)
+
+
+def test_hubert_parity(rng):
+    """HuBERT (TPU-build extension, feature_extractor_type='hubert'): HF
+    HubertModel state dicts are key-identical to Wav2Vec2Model, so the
+    wav2vec2 JAX module + convert_wav2vec2 run it exactly."""
+    from transformers import HubertConfig as HFCfg, HubertModel
+    from radad_tpu.models.wav2vec2 import Wav2Vec2Config, encode
+    from radad_tpu.models.hf_convert import convert_wav2vec2
+
+    kw = dict(hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+              intermediate_size=64, conv_dim=(16, 16, 16),
+              conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
+              num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+              conv_bias=False)
+    tm = HubertModel(HFCfg(feat_extract_norm="group",
+                           do_stable_layer_norm=False,
+                           attn_implementation="eager", **kw)).eval()
+    cfg = Wav2Vec2Config(**kw)
+    params = convert_wav2vec2(tm.state_dict(), cfg)
+    x = rng.standard_normal((2, 2000)).astype(np.float32)
+    with torch.no_grad():
+        out = tm(torch.from_numpy(x), output_hidden_states=True)
+    hs_t = np.stack([h.numpy() for h in out.hidden_states])
+    hs_j = np.asarray(encode(params, jnp.asarray(x), cfg))
+    np.testing.assert_allclose(hs_j, hs_t, atol=2e-5, rtol=1e-4)
+
+
+def test_hubert_factory(tmp_path):
+    """feature_extractor_type='hubert' builds end to end (random weights)
+    and resolves the large presets."""
+    from radad_tpu.config import Config
+    from radad_tpu.models.encoder import build_encoder, resolve_arch_config
+
+    cfg = Config().replace(data_root=str(tmp_path),
+                           feature_extractor_type="hubert")
+    enc = build_encoder(cfg)
+    assert enc.feature_dim == 768
+    segs = jnp.zeros((1, 1, 4000))
+    feats = enc.segment_features(enc.params, segs)
+    assert feats.shape == (1, 1, enc.frames_per_segment(4000), 768)
+
+    large = resolve_arch_config("hubert", "facebook/hubert-large-ls960-ft")
+    assert (large.hidden_size, large.do_stable_layer_norm) == (1024, True)
