@@ -81,7 +81,8 @@ class FlatIndex:
                  nlist: int = 0, nprobe: int = 32,
                  use_pallas: Optional[bool] = None,
                  use_float16: bool = False,
-                 add_batch_size: int = 10000):
+                 add_batch_size: int = 10000,
+                 build_accel: bool = True):
         metric = metric.upper()
         if metric not in self.metric_kinds:
             raise ValueError(f"Unknown index metric: {metric}")
@@ -98,6 +99,10 @@ class FlatIndex:
         # config.vector_add_batch_size / add_vectors_batch chunking
         # (vector_database.py:108-151).
         self.add_batch_size = int(add_batch_size)
+        # False when the caller consumes the canonical arrays directly
+        # (mesh-sharded retrieval): skips building the single-device
+        # fast-exact accelerator copies (~1.5x DB of dead HBM otherwise).
+        self.build_accel = bool(build_accel)
         self.upload_count = 0  # device uploads of vector rows (test probe)
         self.n = 0
         self._cap = 0
@@ -244,7 +249,7 @@ class FlatIndex:
         # numpy oracle, asserted in bench.py).
         self.scan_bf16: Optional[jnp.ndarray] = None
         self.gather3: Optional[jnp.ndarray] = None
-        if _accel_eligible(self.dimension):
+        if self.build_accel and _accel_eligible(self.dimension):
             # bf16 storage: the stored array IS the scan copy, and the
             # gather source stays bf16 (rerank casts rows to f32 in VMEM —
             # exact w.r.t. the stored rounded vectors, the mode's
@@ -570,9 +575,12 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
             cells[None, :, None] == probe_cells[:, None, :], axis=-1)  # [B, cap]
 
     if (exact and scan_bf16 is not None and gather3 is not None
-            and xsq is not None):
+            and xsq is not None and not use_pallas):
         # Fast-exact path: bf16 scan + fused Pallas rerank (TPU only; the
         # accelerator arrays exist only when _accel_eligible said so).
+        # use_pallas=True opts OUT of this default into the single-kernel
+        # flat_topk formulation below (it would otherwise be unreachable
+        # on exactly the hardware where it runs).
         mask = invalid_row[None, :] | excl
         if probe_mask is not None:
             mask = mask | ~probe_mask

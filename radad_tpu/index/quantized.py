@@ -164,13 +164,17 @@ def retrieve_on_device_sq8(tpp, codes, scales, norm_sq, labels, ids,
 class QuantizedIndex:
     """int8 flat index with the same search contract as FlatIndex."""
 
-    def __init__(self, dimension: int, metric: str = "L2"):
+    def __init__(self, dimension: int, metric: str = "L2", *,
+                 build_accel: bool = True):
         metric = metric.upper()
         if metric not in ("L2", "IP", "COSINE"):
             raise ValueError(f"QuantizedIndex metric must be L2/IP/COSINE, "
                              f"got {metric}")
         self.dimension = int(dimension)
         self.metric = metric
+        # False when mesh-sharded retrieval consumes the canonical arrays
+        # (codes3 would be dead HBM on one device).
+        self.build_accel = bool(build_accel)
         self.n = 0
         self.codes: Optional[jnp.ndarray] = None  # [cap, D] int8
         self.codes3: Optional[jnp.ndarray] = None  # [cap, D/128, 128] int8
@@ -235,7 +239,7 @@ class QuantizedIndex:
         from radad_tpu.index.flat import _accel_eligible
 
         self.codes3: Optional[jnp.ndarray] = None
-        if _accel_eligible(self.dimension, False):
+        if self.build_accel and _accel_eligible(self.dimension, False):
             # int8 DMA slices need the sublane (sub) dim aligned to 8 —
             # zero-pad D up to a multiple of 1024 for the gather copy only
             # (zero feature columns don't change dot products).

@@ -85,35 +85,19 @@ def self_attention(
     from radad_tpu.ops.attention import (fused_mha, mha_reference,
                                          use_fused_attention)
 
-    b, t, d = x.shape
-    head_dim = d // num_heads
-    scaling = head_dim ** -0.5
+    _, t, d = x.shape
+    scaling = (d // num_heads) ** -0.5
 
     q = linear(x, p["qw"], p["qb"]) * jnp.asarray(scaling, x.dtype)
     k = linear(x, p["kw"], p.get("kb"))
     v = linear(x, p["vw"], p["vb"])
 
+    gate, pos = bias_factors if bias_factors is not None else (None, None)
     if bias_term is None and use_fused_attention(t, d):
-        gate, pos = bias_factors if bias_factors is not None else (None, None)
         ctx = fused_mha(q, k, v, num_heads, gate=gate, pos_bias=pos)
-        return linear(ctx, p["ow"], p["ob"])
-
-    if bias_factors is not None:
-        gate, pos = bias_factors
-        ctx = mha_reference(q, k, v, num_heads, gate=gate, pos_bias=pos)
-        return linear(ctx, p["ow"], p["ob"])
-
-    def split(h):  # [B, T, D] -> [B, H, T, hd]
-        return h.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
-
-    logits = jnp.einsum("bhtd,bhsd->bhts", split(q), split(k),
-                        preferred_element_type=jnp.float32)
-    if bias_term is not None:
-        logits = logits + bias_term.astype(jnp.float32)
-    weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhts,bhsd->bhtd", weights, split(v),
-                     preferred_element_type=x.dtype)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, d)
+    else:
+        ctx = mha_reference(q, k, v, num_heads, gate=gate, pos_bias=pos,
+                            bias_term=bias_term)
     return linear(ctx, p["ow"], p["ob"])
 
 
@@ -195,16 +179,23 @@ def instance_norm_channels(x: jnp.ndarray, scale: jnp.ndarray,
     as used by the first conv layer of Wav2Vec2/WavLM feature encoders
     (modeling_wav2vec2.py Wav2Vec2GroupNormConvLayer). x: [B, T, C].
 
-    Single-read moments (E[x²]−E[x]², f32 accumulation directly from the
-    compute dtype — no materialized f32 upcast of the [B, 6399, 512]
-    layer-1 activation) and a fused affine normalize. vs the naive
-    two-pass form: 43→38 ms for the conv stack at B=256 on v5e; max abs
-    output delta 2e-6 on conv-scale data (both accumulate in f32)."""
+    Fused moments with f32 accumulation directly from the compute dtype —
+    no materialized f32 upcast of the [B, 6399, 512] layer-1 activation —
+    and a fused affine normalize (vs the naive two-pass form: 43→38 ms
+    for the conv stack at B=256 on v5e). The moments are SHIFTED by each
+    channel's first sample (var = E[(x−s)²] − E[x−s]², s = x[:, :1, :]):
+    the subtraction fuses into both reductions at zero extra HBM traffic,
+    and unlike the raw E[x²]−E[x]² form it does not catastrophically
+    cancel on offset inputs (|mean| ≫ std, e.g. a DC-biased recording),
+    where the raw form loses most of the variance's f32 digits."""
     t = x.shape[1]
-    m1 = jnp.mean(x, axis=1, keepdims=True, dtype=jnp.float32)
-    m2 = (jnp.einsum("btc,btc->bc", x, x,
-                     preferred_element_type=jnp.float32) / t)[:, None, :]
-    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+    s = jax.lax.stop_gradient(x[:, :1, :])
+    xs = x - s  # fused into the reductions below, never materialized
+    m1s = jnp.mean(xs, axis=1, keepdims=True, dtype=jnp.float32)
+    m2s = (jnp.einsum("btc,btc->bc", xs, xs,
+                      preferred_element_type=jnp.float32) / t)[:, None, :]
+    var = jnp.maximum(m2s - jnp.square(m1s), 0.0)
+    m1 = m1s + s.astype(jnp.float32)
     inv = jax.lax.rsqrt(var + eps)
     a = (inv * scale).astype(x.dtype)
     b = (bias - m1 * inv * scale).astype(x.dtype)

@@ -143,9 +143,13 @@ def fused_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def mha_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                   num_heads: int, *, gate: jnp.ndarray = None,
-                  pos_bias: jnp.ndarray = None) -> jnp.ndarray:
-    """Pure-XLA oracle with the identical contract (tests + CPU fallback):
-    the head split/merge transposes this kernel exists to avoid."""
+                  pos_bias: jnp.ndarray = None,
+                  bias_term: jnp.ndarray = None) -> jnp.ndarray:
+    """Pure-XLA path with the identical contract (production default, test
+    oracle for the fused kernel, CPU fallback). ``bias_term [B, H, T, T]``
+    is the pre-materialized additive-bias form (used by torch-parity tests
+    that materialize WavLM's gated bias); ``gate``/``pos_bias`` is its
+    factored form."""
     b, t, d = q.shape
     hd = d // num_heads
 
@@ -158,6 +162,8 @@ def mha_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         bias = (gate.transpose(0, 2, 1)[..., None].astype(jnp.float32)
                 * pos_bias[None].astype(jnp.float32))
         logits = logits + bias
+    if bias_term is not None:
+        logits = logits + bias_term.astype(jnp.float32)
     w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     ctx = jnp.einsum("bhts,bhsd->bhtd", w, split(v),
                      preferred_element_type=jnp.float32).astype(q.dtype)

@@ -178,13 +178,17 @@ class DetectionPipeline:
         if self.is_quantized:
             from radad_tpu.index.quantized import QuantizedIndex
 
-            self.index = QuantizedIndex(self.tpp_dim, "L2")
+            self.index = QuantizedIndex(self.tpp_dim, "L2",
+                                        build_accel=mesh is None)
         else:
             self.index = FlatIndex(
                 self.tpp_dim, metric, nlist=config.vector_db_nlist,
                 nprobe=config.vector_db_nprobe, use_pallas=use_pallas,
                 use_float16=config.use_float16,
-                add_batch_size=config.vector_add_batch_size)
+                add_batch_size=config.vector_add_batch_size,
+                # mesh retrieval consumes the canonical arrays; don't pin
+                # ~1.5x DB of single-device accel copies in HBM
+                build_accel=mesh is None)
         self.mesh = mesh
         self.writer = ArtifactWriter(config.data_root)
         self.wandb = WandbShim(config.usewandb)
@@ -270,19 +274,55 @@ class DetectionPipeline:
 
     def _retrieve(self, index_args, tpp, exclude_ids, *, k, metric, n_valid,
                   exclude_mode="batch"):
-        """Dispatch in-graph retrieval by index kind."""
+        """Dispatch in-graph retrieval by index kind and mesh.
+
+        With a mesh and the reference's batch-global exclusion the search
+        runs sharded over ICI (per-shard top-k + all_gather merge, IVF
+        probe masking included). exclude_mode="self" (independent
+        predict_batch requests) has no sharded formulation yet, and small
+        predict batches may not divide the data axis — both fall back to
+        the dense exact scan via GSPMD, ignoring IVF probes (a candidate
+        superset, never worse recall)."""
+        from radad_tpu.parallel.mesh import DATA_AXIS
+
+        shardable = (self.mesh is not None
+                     and tpp.shape[0] % self.mesh.shape[DATA_AXIS] == 0)
+        if shardable and exclude_mode == "batch":
+            if self.is_quantized:
+                from radad_tpu.parallel.sharded_index import (
+                    sharded_retrieve_sq8)
+
+                codes, scales, norm_sq, labels, ids = index_args
+                ret = sharded_retrieve_sq8(
+                    self.mesh, tpp, codes, scales, norm_sq, labels, ids,
+                    exclude_ids, k=k, metric="L2")
+            else:
+                from radad_tpu.parallel.sharded_index import sharded_retrieve
+
+                vectors, labels, ids, _xsq = index_args[:4]
+                cents, cells = (index_args[4:6] if len(index_args) == 6
+                                else (None, None))
+                ret = sharded_retrieve(
+                    self.mesh, tpp, vectors, labels, ids, ids >= 0,
+                    exclude_ids, k=k, metric=metric, centroids=cents,
+                    cells=cells,
+                    nprobe=self.index.nprobe if cents is not None else 32)
+            return ret.neighbors, ret.labels, ret.dists, ret.indices
         if self.is_quantized:
             from radad_tpu.index.quantized import retrieve_on_device_sq8
 
-            codes, scales, norm_sq, labels, ids, codes3 = (
-                index_args if len(index_args) == 6
-                else index_args + (None,))
+            codes, scales, norm_sq, labels, ids = index_args[:5]
+            codes3 = index_args[5] if len(index_args) == 6 else None
             return retrieve_on_device_sq8(
                 tpp, codes, scales, norm_sq, labels, ids, exclude_ids,
                 k=k, metric="L2", n_valid=n_valid, codes3=codes3,
                 exclude_mode=exclude_mode)
-        vectors, labels, ids, xsq, scan_bf16, gather3 = (
-            index_args if len(index_args) == 6 else index_args + (None, None))
+        vectors, labels, ids, xsq = index_args[:4]
+        scan_bf16 = gather3 = None
+        if self.mesh is None and len(index_args) == 6:
+            scan_bf16, gather3 = index_args[4:6]
+        # (mesh + "self": any trailing IVF centroids/cells are dropped —
+        # dense exact scan, see docstring.)
         return retrieve_on_device(tpp, vectors, labels, ids, exclude_ids,
                                   k=k, metric=metric, n_valid=n_valid,
                                   exclude_mode=exclude_mode, xsq=xsq,
@@ -315,15 +355,26 @@ class DetectionPipeline:
             first = retrieve(index_args, tpp, exclude_ids, k=k,
                              metric=metric, n_valid=n_valid,
                              exclude_mode=exclude_mode)
-            wiped = jnp.logical_not(jnp.any(first[3] >= 0))
-            neighbors, nlabels, dists, idx = jax.lax.cond(
-                wiped,
+            # Per-ROW wipe detection: one fully-excluded clip in a mixed
+            # micro-batch must get its own unexcluded retry without
+            # disturbing rows that found neighbors (reference retries per
+            # request, pipeline.py:1051-1054). lax.cond still skips the
+            # second scan entirely when no row is wiped.
+            wiped_rows = jnp.logical_not(
+                jnp.any(first[3] >= 0, axis=-1))  # [B]
+            second = jax.lax.cond(
+                jnp.any(wiped_rows),
                 lambda _: retrieve(index_args, tpp,
                                    jnp.full_like(exclude_ids, -2), k=k,
                                    metric=metric, n_valid=n_valid,
                                    exclude_mode=exclude_mode),
                 lambda _: first,
                 None)
+            row = wiped_rows[:, None]
+            neighbors = jnp.where(row[..., None], second[0], first[0])
+            nlabels = jnp.where(row, second[1], first[1])
+            dists = jnp.where(row, second[2], first[2])
+            idx = jnp.where(row, second[3], first[3])
             logits = model.apply(variables, jnp.nan_to_num(neighbors), tpp,
                                  deterministic=True,
                                  use_running_average=True)
@@ -480,34 +531,11 @@ class DetectionPipeline:
         mesh = self.mesh
         retrieve = self._retrieve
 
-        is_quantized = self.is_quantized
-
         def common(index_args, tpp, exclude_ids):
-            if mesh is not None:
-                if is_quantized:
-                    from radad_tpu.parallel.sharded_index import (
-                        sharded_retrieve_sq8)
-
-                    codes, scales, norm_sq, labels, ids = index_args
-                    ret = sharded_retrieve_sq8(
-                        mesh, tpp, codes, scales, norm_sq, labels, ids,
-                        exclude_ids, k=k, metric="L2")
-                    return jnp.nan_to_num(ret.neighbors), ret.labels
-                from radad_tpu.parallel.sharded_index import sharded_retrieve
-
-                vectors, labels, ids, _xsq = index_args[:4]
-                cents, cells = (index_args[4:6] if len(index_args) == 6
-                                else (None, None))
-                ret = sharded_retrieve(
-                    mesh, tpp, vectors, labels, ids, ids >= 0, exclude_ids,
-                    k=k, metric=metric, centroids=cents, cells=cells,
-                    nprobe=self.index.nprobe if cents is not None else 32)
-                return jnp.nan_to_num(ret.neighbors), ret.labels
-            neighbors, nlabels, dists, idx = retrieve(
+            neighbors, nlabels, _dists, _idx = retrieve(
                 index_args, tpp, exclude_ids,
                 k=k, metric=metric, n_valid=n_valid)
-            neighbors = jnp.nan_to_num(neighbors)  # pipeline.py:801-803
-            return neighbors, nlabels
+            return jnp.nan_to_num(neighbors), nlabels  # pipeline.py:801-803
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

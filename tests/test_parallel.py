@@ -396,3 +396,47 @@ def test_ivf_pipeline_on_mesh(mesh24, synthetic_dataset):
     pipe = DetectionPipeline(cfg, encoder=enc, mesh=mesh24)
     metrics = pipe.train(splits["train"], splits["val"])
     assert np.isfinite(metrics["val_loss"])
+
+
+def test_ivf_pipeline_on_mesh_predict(mesh24, synthetic_dataset):
+    """predict()/predict_batch() on a mesh+IVF pipeline (regression: the
+    retrieval dispatch once unpacked the IVF (centroids, cells) tuple as
+    the fast-path accel arrays and crashed with a broadcast error).
+    Covers both exclusion modes: predict (batch) routes the sharded IVF
+    search; predict_batch (per-row self) uses the dense exact fallback."""
+    import os
+    from radad_tpu.config import Config
+    from radad_tpu.data.manifest import load_manifests
+    from radad_tpu.models.encoder import FrozenEncoder
+    from radad_tpu.models.wav2vec2 import Wav2Vec2Config, init_params
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    acfg = Wav2Vec2Config(
+        hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=32, conv_dim=(8, 8), conv_kernel=(10, 8),
+        conv_stride=(5, 4), num_conv_pos_embeddings=8,
+        num_conv_pos_embedding_groups=2)
+    enc = FrozenEncoder(name="wav2vec2", model_name="tiny", arch_cfg=acfg,
+                        params=init_params(jax.random.PRNGKey(0), acfg),
+                        pretrained=False, layers_to_use=(-1,))
+    cfg = Config().replace(
+        vector_db_index_type="IVF", vector_db_nlist=8, vector_db_nprobe=4,
+        num_epochs=1, batch_size=8, eval_batch_size=8, use_layer_norm=True,
+        use_batch_norm=False, data_root="/tmp/ivf_mesh_pred", top_k=3,
+        train_data_path=synthetic_dataset, test_data_path=synthetic_dataset)
+    splits = load_manifests(synthetic_dataset, data_fraction=1.0,
+                            train_split=0.8, seed=42)
+    pipe = DetectionPipeline(cfg, encoder=enc, mesh=mesh24)
+    pipe.build_vector_database(splits["train"], save=False)
+    pipe._ensure_model_state()
+
+    wav = os.path.join(synthetic_dataset, splits["val"].paths[0])
+    out = pipe.predict(wav)
+    assert out["prediction"] in ("spoof", "bona-fide")
+    assert 0.0 <= out["probability_spoof"] <= 1.0
+
+    wavs = [os.path.join(synthetic_dataset, p)
+            for p in splits["val"].paths[:2]]
+    outs = pipe.predict_batch(wavs)
+    assert len(outs) == 2 and all(
+        0.0 <= o["probability_spoof"] <= 1.0 for o in outs)

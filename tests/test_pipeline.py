@@ -305,3 +305,32 @@ def test_early_stopping(synthetic_dataset, tiny_encoder, tmp_path):
     pipe = DetectionPipeline(cfg, encoder=tiny_encoder)
     pipe.train(splits["train"], splits["val"])
     assert len(pipe.writer.rows) < 8  # stopped early
+
+
+def test_predict_batch_per_row_wipe_fallback(trained):
+    """One fully-excluded clip in a MIXED predict_batch must get its own
+    unexcluded retry while other rows keep their first-pass neighbors
+    (regression: the wipe test was batch-global, so a mixed batch left the
+    wiped row with all-zero neighbors)."""
+    pipe, splits, _, _ = trained
+    from radad_tpu.data.manifest import file_id
+    from radad_tpu.index.flat import FlatIndex
+
+    src = splits["train"].paths[0]
+    other = splits["train"].paths[1]
+    emb = pipe.get_embeddings(splits["train"])
+    # DB rows come from ONE file: per-row self exclusion wipes the row
+    # querying that same file but leaves the other request untouched.
+    one = FlatIndex(pipe.tpp_dim, "L2")
+    one.add(emb[:1], [1.0], [src], ids=[file_id(src)])
+    old_index = pipe.index
+    pipe.index = one
+    pipe._predict_cache.clear()
+    try:
+        outs = pipe.predict_batch([src, other])
+        for out in outs:  # BOTH rows must have real neighbors
+            assert out["retrieved_files"][0] == os.path.basename(src)
+            assert np.isfinite(out["logit"])
+    finally:
+        pipe.index = old_index
+        pipe._predict_cache.clear()
