@@ -7,7 +7,11 @@ librosa is not a dependency here; decoding is a thin stack:
   1. a native C++ decoder (``radad_tpu/native``, loaded via ctypes) when the
      shared library has been built — the hot path for DB builds;
   2. a pure-Python WAV parser (stdlib ``wave`` + numpy) otherwise;
-  3. graceful zero-fill on any failure, matching dataset.py:151-153.
+  3. for non-WAV formats (mp3/flac/ogg/m4a/webm — the reference decodes
+     these through librosa/audioread), an ``ffmpeg`` CLI pipe when ffmpeg
+     is on PATH (the same dependency the reference's web app shells out
+     to, app.py:205-207);
+  4. graceful zero-fill on any failure, matching dataset.py:151-153.
 
 Resampling uses polyphase filtering (scipy.signal.resample_poly), which is
 the same algorithm family librosa uses in its default ``soxr``-less mode.
@@ -78,6 +82,33 @@ def _decode_wav_python(path: str) -> tuple[np.ndarray, int]:
     return data, sr
 
 
+_WAV_EXTS = (".wav", ".wave")
+
+
+def have_ffmpeg() -> bool:
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+def _decode_ffmpeg(path: str, sample_rate: int) -> tuple[np.ndarray, int]:
+    """Decode any ffmpeg-supported format (mp3/flac/ogg/m4a/webm…) to
+    float32 mono at ``sample_rate`` via an ffmpeg pipe — the data-layer
+    counterpart of the reference web app's transcode fallback
+    (app.py:205-207); the reference's dataset loader reaches the same
+    formats through librosa/audioread (dataset.py:143)."""
+    import subprocess
+
+    proc = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", path, "-f", "f32le", "-ac", "1",
+         "-ar", str(sample_rate), "pipe:1"],
+        capture_output=True, timeout=120)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"ffmpeg decode failed: {proc.stderr.decode(errors='replace')[:200]}")
+    return np.frombuffer(proc.stdout, dtype=np.float32).copy(), sample_rate
+
+
 def _decode_scipy(path: str) -> tuple[np.ndarray, int]:
     """Fallback decoder via scipy.io.wavfile (handles IEEE-float WAVs)."""
     from scipy.io import wavfile
@@ -122,14 +153,18 @@ def load_audio(
     """
     target_len = int(duration * sample_rate) if duration is not None else None
     try:
-        native = _try_load_native()
-        if native:
-            audio, sr = native.decode(path)
+        if (os.path.splitext(path)[1].lower() not in _WAV_EXTS
+                and have_ffmpeg()):
+            audio, sr = _decode_ffmpeg(path, sample_rate)
         else:
-            try:
-                audio, sr = _decode_wav_python(path)
-            except Exception:
-                audio, sr = _decode_scipy(path)
+            native = _try_load_native()
+            if native:
+                audio, sr = native.decode(path)
+            else:
+                try:
+                    audio, sr = _decode_wav_python(path)
+                except Exception:
+                    audio, sr = _decode_scipy(path)
         if duration is not None:
             # Truncate *before* resampling to bound the filter cost, with a
             # small guard so polyphase edge effects don't shorten the clip.

@@ -108,3 +108,47 @@ def test_load_audio_uses_native(tmp_path):
     assert out.shape == (48000,)
     assert abs(out.mean() - 0.3) < 1e-2
     assert audio_mod._try_load_native()  # native path active
+
+
+def test_non_wav_without_ffmpeg_returns_zeros(tmp_path, monkeypatch):
+    """Parity contract (dataset.py:151-153): an undecodable file yields
+    silence, never an exception. Without ffmpeg on PATH, non-WAV formats
+    are undecodable."""
+    import radad_tpu.data.audio as audio_mod
+
+    monkeypatch.setattr(audio_mod, "have_ffmpeg", lambda: False)
+    p = tmp_path / "clip.mp3"
+    p.write_bytes(b"\xff\xfbnot really an mp3")
+    out = audio_mod.load_audio(str(p), sample_rate=16000, duration=1.0)
+    assert out.shape == (16000,) and not out.any()
+
+
+def test_ffmpeg_decode_roundtrip(tmp_path):
+    """When ffmpeg IS available, a non-.wav container decodes through the
+    ffmpeg pipe to the same samples as the WAV path."""
+    import shutil
+    import pytest as _pytest
+
+    if shutil.which("ffmpeg") is None:
+        _pytest.skip("ffmpeg not on PATH")
+    import numpy as np
+    from radad_tpu.data.audio import load_audio, _decode_ffmpeg
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    wave_f = (0.25 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    import wave as wave_mod
+    wav_path = tmp_path / "tone.wav"
+    with wave_mod.open(str(wav_path), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+        w.writeframes((wave_f * 32767).astype("<i2").tobytes())
+    # same bytes under a non-wav extension → routed through ffmpeg
+    flac_path = tmp_path / "tone.weird"
+    import subprocess
+    subprocess.run(["ffmpeg", "-v", "error", "-i", str(wav_path), "-c:a",
+                    "flac", "-f", "flac", str(flac_path)], check=True)
+    got, got_sr = _decode_ffmpeg(str(flac_path), sr)
+    assert got_sr == sr
+    np.testing.assert_allclose(got[:sr], wave_f, atol=2e-4)
+    via_loader = load_audio(str(flac_path), sample_rate=sr, duration=1.0)
+    np.testing.assert_allclose(via_loader, wave_f, atol=2e-4)
