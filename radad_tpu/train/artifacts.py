@@ -210,3 +210,57 @@ class WandbShim:
                 self.run.finish()
             except Exception:  # pragma: no cover
                 pass
+
+
+def plot_history(data_root: str, show: bool = False):
+    """Notebook-facing curve helper: render the reference's four inline
+    training curves (loss, accuracy, EER, AUC vs epoch — the
+    plot-in-notebook block at /root/reference/pipeline.py:1160-1259) from
+    a run's ``metrics.csv``. Returns the matplotlib Figure (and calls
+    ``plt.show()`` when ``show=True``, the notebook mode); the per-epoch
+    PNG artifacts under ``data_root`` carry the same information for
+    non-notebook runs."""
+    import csv
+
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    path = os.path.join(data_root, "metrics.csv")
+    with open(path) as f:
+        rows = [r for r in csv.DictReader(f) if r.get("epoch")]
+
+    def col(name):
+        out = []
+        for r in rows:
+            v = r.get(name)
+            try:
+                out.append(float(v))
+            except (TypeError, ValueError):
+                out.append(float("nan"))
+        return out
+
+    epochs = col("epoch")
+    panels = [
+        ("loss", [("train_loss", "train"), ("val_loss", "val")]),
+        ("accuracy", [("train_acc", "train"), ("val_acc", "val")]),
+        ("EER (%)", [("eer_percent", "val"),
+                     ("macro_eer_percent", "macro")]),
+        ("AUC", [("auc", "val")]),
+    ]
+    fig, axes = plt.subplots(2, 2, figsize=(11, 8))
+    for ax, (ylabel, series) in zip(axes.flat, panels):
+        for key, label in series:
+            ys = col(key)
+            if any(y == y for y in ys):  # any non-NaN
+                ax.plot(epochs, ys, marker="o", ms=3, label=label)
+        ax.set_xlabel("epoch")
+        ax.set_ylabel(ylabel)
+        ax.grid(alpha=0.3)
+        ax.legend()
+    fig.tight_layout()
+    if show:  # pragma: no cover - notebook path
+        plt.show()
+    return fig

@@ -125,3 +125,26 @@ def test_notebook_plot_helpers(tmp_path):
     scores = labels + rng.standard_normal(200) * 0.7
     fig2 = plot_roc_det(scores, labels, title="t")
     assert len(fig2.axes) == 2
+
+
+def test_plot_history_from_metrics_csv(tmp_path):
+    """plot_history renders the reference's four inline notebook curves
+    (pipeline.py:1160-1259) from a run's metrics.csv."""
+    import csv
+    from radad_tpu.train.artifacts import plot_history
+
+    rows = [
+        {"epoch": 1, "train_loss": 0.6, "val_loss": 0.5, "train_acc": 0.6,
+         "val_acc": 0.7, "eer_percent": 20.0, "macro_eer_percent": 18.0,
+         "auc": 0.85},
+        {"epoch": 2, "train_loss": 0.4, "val_loss": 0.45, "train_acc": 0.8,
+         "val_acc": 0.82, "eer_percent": 12.0, "macro_eer_percent": 10.0,
+         "auc": 0.93},
+    ]
+    with open(tmp_path / "metrics.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    fig = plot_history(str(tmp_path))
+    assert len(fig.axes) == 4
+    assert all(ax.lines for ax in fig.axes)  # every panel drew something
