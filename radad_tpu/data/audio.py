@@ -85,24 +85,37 @@ def _decode_wav_python(path: str) -> tuple[np.ndarray, int]:
 _WAV_EXTS = (".wav", ".wave")
 
 
+_HAVE_FFMPEG: Optional[bool] = None
+
+
 def have_ffmpeg() -> bool:
-    import shutil
+    global _HAVE_FFMPEG
+    if _HAVE_FFMPEG is None:
+        import shutil
 
-    return shutil.which("ffmpeg") is not None
+        _HAVE_FFMPEG = shutil.which("ffmpeg") is not None
+    return _HAVE_FFMPEG
 
 
-def _decode_ffmpeg(path: str, sample_rate: int) -> tuple[np.ndarray, int]:
+def _decode_ffmpeg(path: str, sample_rate: int,
+                   duration: Optional[float] = None
+                   ) -> tuple[np.ndarray, int]:
     """Decode any ffmpeg-supported format (mp3/flac/ogg/m4a/webm…) to
     float32 mono at ``sample_rate`` via an ffmpeg pipe — the data-layer
     counterpart of the reference web app's transcode fallback
     (app.py:205-207); the reference's dataset loader reaches the same
-    formats through librosa/audioread (dataset.py:143)."""
+    formats through librosa/audioread (dataset.py:143). ``duration``
+    bounds the decode itself (``-t``), so a 3 s clip from an hour-long
+    file does not transcode the whole hour."""
     import subprocess
 
-    proc = subprocess.run(
-        ["ffmpeg", "-v", "error", "-i", path, "-f", "f32le", "-ac", "1",
-         "-ar", str(sample_rate), "pipe:1"],
-        capture_output=True, timeout=120)
+    cmd = ["ffmpeg", "-v", "error"]
+    if duration is not None:
+        # small guard past the cut so truncate-after-decode stays exact
+        cmd += ["-t", f"{duration + 0.05:.3f}"]
+    cmd += ["-i", path, "-f", "f32le", "-ac", "1",
+            "-ar", str(sample_rate), "pipe:1"]
+    proc = subprocess.run(cmd, capture_output=True, timeout=600)
     if proc.returncode != 0:
         raise RuntimeError(
             f"ffmpeg decode failed: {proc.stderr.decode(errors='replace')[:200]}")
@@ -155,7 +168,7 @@ def load_audio(
     try:
         if (os.path.splitext(path)[1].lower() not in _WAV_EXTS
                 and have_ffmpeg()):
-            audio, sr = _decode_ffmpeg(path, sample_rate)
+            audio, sr = _decode_ffmpeg(path, sample_rate, duration)
         else:
             native = _try_load_native()
             if native:

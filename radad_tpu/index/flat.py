@@ -403,12 +403,14 @@ class FlatIndex:
             pickle.dump({"paths": self.paths, "metadata": self.metadata}, f)
 
     @classmethod
-    def load(cls, directory: str, *, use_pallas: Optional[bool] = None) -> "FlatIndex":
+    def load(cls, directory: str, *, use_pallas: Optional[bool] = None,
+             build_accel: bool = True) -> "FlatIndex":
         with open(os.path.join(directory, "index_meta.json")) as f:
             meta = json.load(f)
         idx = cls(meta["dimension"], meta["metric"], nlist=meta.get("nlist", 0),
                   nprobe=meta.get("nprobe", 32), use_pallas=use_pallas,
-                  use_float16=meta.get("use_float16", False))
+                  use_float16=meta.get("use_float16", False),
+                  build_accel=build_accel)
         data = np.load(os.path.join(directory, "index_arrays.npz"))
         with open(os.path.join(directory, "index_host.pkl"), "rb") as f:
             host = pickle.load(f)
@@ -575,12 +577,15 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
             cells[None, :, None] == probe_cells[:, None, :], axis=-1)  # [B, cap]
 
     if (exact and scan_bf16 is not None and gather3 is not None
-            and xsq is not None and not use_pallas):
+            and xsq is not None
+            and (not use_pallas or metric == "IVF")):
         # Fast-exact path: bf16 scan + fused Pallas rerank (TPU only; the
         # accelerator arrays exist only when _accel_eligible said so).
         # use_pallas=True opts OUT of this default into the single-kernel
         # flat_topk formulation below (it would otherwise be unreachable
-        # on exactly the hardware where it runs).
+        # on exactly the hardware where it runs) — except for IVF, which
+        # flat_topk does not support: IVF keeps the fast-exact path so
+        # the combination never silently regresses to the dense scan.
         mask = invalid_row[None, :] | excl
         if probe_mask is not None:
             mask = mask | ~probe_mask

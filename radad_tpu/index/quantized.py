@@ -286,11 +286,12 @@ class QuantizedIndex:
             pickle.dump({"paths": self.paths, "metadata": self.metadata}, f)
 
     @classmethod
-    def load(cls, directory: str) -> "QuantizedIndex":
+    def load(cls, directory: str, *,
+             build_accel: bool = True) -> "QuantizedIndex":
         with open(os.path.join(directory, "sq8_meta.json")) as f:
             meta = json.load(f)
         data = np.load(os.path.join(directory, "sq8_arrays.npz"))
-        idx = cls(meta["dimension"], meta["metric"])
+        idx = cls(meta["dimension"], meta["metric"], build_accel=build_accel)
         with open(os.path.join(directory, "sq8_host.pkl"), "rb") as f:
             host = pickle.load(f)
         idx.paths = list(host["paths"])

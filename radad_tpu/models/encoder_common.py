@@ -182,14 +182,20 @@ def instance_norm_channels(x: jnp.ndarray, scale: jnp.ndarray,
     Fused moments with f32 accumulation directly from the compute dtype —
     no materialized f32 upcast of the [B, 6399, 512] layer-1 activation —
     and a fused affine normalize (vs the naive two-pass form: 43→38 ms
-    for the conv stack at B=256 on v5e). The moments are SHIFTED by each
-    channel's first sample (var = E[(x−s)²] − E[x−s]², s = x[:, :1, :]):
-    the subtraction fuses into both reductions at zero extra HBM traffic,
-    and unlike the raw E[x²]−E[x]² form it does not catastrophically
-    cancel on offset inputs (|mean| ≫ std, e.g. a DC-biased recording),
-    where the raw form loses most of the variance's f32 digits."""
+    for the conv stack at B=256 on v5e). The moments are SHIFTED
+    (var = E[(x−s)²] − E[x−s]²) by s = the per-channel mean of 8 evenly
+    spaced time samples: the subtraction fuses into both reductions at
+    zero extra HBM traffic, and unlike the raw E[x²]−E[x]² form it does
+    not catastrophically cancel on offset inputs (|mean| ≫ std, e.g. a
+    DC-biased recording). Averaging 8 spread samples (rather than one
+    frame) keeps the shift near the true mean even when a single frame is
+    an outlier (a click/pop at clip start) — a one-frame shift would
+    re-center the whole clip on the outlier and reintroduce the
+    cancellation."""
     t = x.shape[1]
-    s = jax.lax.stop_gradient(x[:, :1, :])
+    probe = x[:, :: max(1, t // 8), :][:, :8, :].astype(jnp.float32)
+    s = jax.lax.stop_gradient(jnp.mean(probe, axis=1, keepdims=True))
+    s = s.astype(x.dtype)
     xs = x - s  # fused into the reductions below, never materialized
     m1s = jnp.mean(xs, axis=1, keepdims=True, dtype=jnp.float32)
     m2s = (jnp.einsum("btc,btc->bc", xs, xs,

@@ -46,13 +46,16 @@ class _AudioNative:
     def decode(self, path: str):
         """Full decode at native rate → (float32 samples, sample_rate).
         Raises on failure so callers can fall back."""
-        # First-try capacity from the file's byte size: sample count can't
-        # exceed data bytes (even 8-bit mono is 1 byte/sample). A fixed 4M
-        # cap cost a 16 MB alloc PER CLIP, which made the native path
-        # slower than the stdlib parser on short clips (measured 7.6k vs
-        # 8.9k clips/s); right-sizing removes that overhead.
+        # First-try capacity from the file's byte size / 2: mono sample
+        # count is data_bytes / (width * channels) ≤ bytes/2 for 16-bit+
+        # PCM. 8-bit mono (bytes/1) undershoots, which is safe — the C
+        # call returns the required count and the loop retries exactly
+        # once. A fixed 4M cap cost a 16 MB alloc PER CLIP (made the
+        # native path slower than the stdlib parser: 7.6k vs 8.9k
+        # clips/s), and a full-byte-size cap still over-allocated 4 GB
+        # for a 1 GB stereo WAV in long-audio mode.
         try:
-            cap = max(4096, os.path.getsize(path) + 64)
+            cap = max(4096, os.path.getsize(path) // 2 + 64)
         except OSError:
             cap = 1 << 22
         while True:

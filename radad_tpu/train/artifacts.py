@@ -222,10 +222,9 @@ def plot_history(data_root: str, show: bool = False):
     non-notebook runs."""
     import csv
 
-    import matplotlib
-
-    if not show:
-        matplotlib.use("Agg")
+    # No matplotlib.use() here: forcing Agg would break the inline backend
+    # of the very notebook sessions this helper targets; headless
+    # processes fall back to Agg on their own.
     import matplotlib.pyplot as plt
 
     path = os.path.join(data_root, "metrics.csv")

@@ -1019,13 +1019,16 @@ class DetectionPipeline:
             if not os.path.exists(os.path.join(path, "sq8_meta.json")):
                 logger.warning("no saved SQ8 vector DB at %s", path)
                 return False
-            self.index = QuantizedIndex.load(path)
+            self.index = QuantizedIndex.load(
+                path, build_accel=self.mesh is None)
+            self._place_index_on_mesh()
         else:
             if not os.path.exists(os.path.join(path, "index_meta.json")):
                 logger.warning("no saved vector DB at %s", path)
                 return False
             self.index = FlatIndex.load(path,
-                                        use_pallas=self.index.use_pallas)
+                                        use_pallas=self.index.use_pallas,
+                                        build_accel=self.mesh is None)
             self._place_index_on_mesh()
         self._train_step = None
         self._eval_step = None
