@@ -440,3 +440,39 @@ def test_ivf_pipeline_on_mesh_predict(mesh24, synthetic_dataset):
     outs = pipe.predict_batch(wavs)
     assert len(outs) == 2 and all(
         0.0 <= o["probability_spoof"] <= 1.0 for o in outs)
+
+
+def test_mesh_load_skips_accel_arrays(mesh24, synthetic_dataset, tmp_path):
+    """Loading a saved DB into a mesh pipeline must not rebuild the
+    single-device fast-path accel copies (regression: FlatIndex.load had
+    no build_accel parameter, pinning ~1.5x DB of dead HBM on resume)."""
+    from radad_tpu.config import Config
+    from radad_tpu.data.manifest import load_manifests
+    from radad_tpu.models.encoder import FrozenEncoder
+    from radad_tpu.models.wav2vec2 import Wav2Vec2Config, init_params
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    acfg = Wav2Vec2Config(
+        hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=32, conv_dim=(8, 8), conv_kernel=(10, 8),
+        conv_stride=(5, 4), num_conv_pos_embeddings=8,
+        num_conv_pos_embedding_groups=2)
+    enc = FrozenEncoder(name="wav2vec2", model_name="tiny", arch_cfg=acfg,
+                        params=init_params(jax.random.PRNGKey(0), acfg),
+                        pretrained=False, layers_to_use=(-1,))
+    root = str(tmp_path)
+    cfg = Config().replace(
+        data_root=root, vector_db_path=root + "/vdb", batch_size=8,
+        db_batch_size=8, use_layer_norm=True, use_batch_norm=False,
+        train_data_path=synthetic_dataset, test_data_path=synthetic_dataset)
+    splits = load_manifests(synthetic_dataset, data_fraction=1.0,
+                            train_split=0.8, seed=42)
+    build = DetectionPipeline(cfg, encoder=enc)
+    build.build_vector_database(splits["train"], save=True)
+    assert build.index.build_accel  # single-chip default
+
+    meshed = DetectionPipeline(cfg, encoder=enc, mesh=mesh24)
+    assert meshed.load_vector_database()
+    assert meshed.index.ntotal == len(splits["train"])
+    assert not meshed.index.build_accel
+    assert meshed.index.scan_bf16 is None and meshed.index.gather3 is None
