@@ -62,6 +62,9 @@ def main():
     p.add_argument("--speakers", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sr", type=int, default=16000)
+    p.add_argument("--spoof_ratio", type=float, default=0.625,
+                   help="fraction of spoof clips; default ~ITW's 62.5%%, "
+                        "use 0.473 for FakeAVCeleb's 52.66%% bona-fide")
     args = p.parse_args()
 
     from radad_tpu.data.audio import write_wav
@@ -73,7 +76,15 @@ def main():
         spk = i % args.speakers
         f0 = 110.0 * (2.0 ** (spk / 12.0)) * rng.uniform(0.98, 1.02)
         dur = rng.uniform(1.0, 4.0)
-        label = "spoof" if i % 8 < 5 else "bona-fide"  # ~62.5% spoof (ITW-like)
+        if args.spoof_ratio == 0.625:
+            # original pattern, byte-for-byte reproducibility of the
+            # committed synthetic400/synthetic2k/ITW-scale records (the
+            # rng stream depends on the label sequence)
+            label = "spoof" if i % 8 < 5 else "bona-fide"
+        else:
+            label = ("spoof"
+                     if (i * args.spoof_ratio) % 1.0 + args.spoof_ratio
+                     >= 1.0 else "bona-fide")  # deterministic ratio mix
         wave = synth_clip(rng, f0, dur, args.sr, label == "spoof")
         fname = f"clip_{i:05d}.wav"
         write_wav(os.path.join(args.out, fname), wave, args.sr)
