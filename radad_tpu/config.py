@@ -138,6 +138,13 @@ class Config:
     # epochs. Numerically identical (same floats), orders of magnitude
     # faster per epoch. Set False to force reference-style recompute.
     cache_embeddings: bool = True
+    # Shard DB-build embed batches over the mesh 'data' axis so the
+    # dominant multi-chip phase scales. None = auto: on for meshes of real
+    # accelerators, off for cpu-platform (virtual test) meshes where the
+    # SPMD encoder compile costs minutes and the single physical CPU gains
+    # nothing. True/False force either way (tests force True to pin
+    # sharded-embed parity).
+    shard_db_build: Optional[bool] = None
     compute_dtype: str = "bfloat16"  # encoder/matmul compute dtype on TPU
     param_dtype: str = "float32"
     index_shards: int = 1  # mesh size along the 'index' axis for the sharded DB

@@ -449,6 +449,17 @@ class DetectionPipeline:
         # per batch.
         chunks: List[jnp.ndarray] = []
         valids: List[np.ndarray] = []
+        shard_embed = cfg.shard_db_build
+        if shard_embed is None:  # auto: real-accelerator meshes only
+            shard_embed = (
+                self.mesh is not None
+                and self.mesh.devices.flat[0].platform != "cpu")
+        if self.mesh is not None and shard_embed:
+            from radad_tpu.parallel.mesh import DATA_AXIS as _DA
+
+            data_div = self.mesh.shape[_DA]
+        else:
+            data_div = 0
         for batch in _progress(
                 iterate_batches(
                     manifest, cfg.db_batch_size, sample_rate=cfg.sample_rate,
@@ -456,9 +467,20 @@ class DetectionPipeline:
                     prefetch=cfg.host_prefetch, pad_to=self._grid_pad()),
                 total=-(-len(manifest) // cfg.db_batch_size),
                 desc="Embedding"):
+            if data_div and batch.audio.shape[0] % data_div == 0:
+                # Shard the embed batch over 'data' so DB build scales
+                # across chips (GSPMD propagates through the jitted embed;
+                # without this the dominant multi-chip phase ran at
+                # single-chip speed on replicated inputs).
+                audio_dev, = self._shard_batch(batch.audio)
+                lengths_dev = (self._shard_batch(batch.lengths)[0]
+                               if cfg.max_duration else None)
+            else:
+                audio_dev = jnp.asarray(batch.audio)
+                lengths_dev = (jnp.asarray(batch.lengths)
+                               if cfg.max_duration else None)
             chunks.append(self._embed(
-                self.encoder.params, jnp.asarray(batch.audio),
-                jnp.asarray(batch.lengths) if cfg.max_duration else None))
+                self.encoder.params, audio_dev, lengths_dev))
             valids.append(batch.valid)
         emb = np.asarray(jnp.concatenate(chunks, axis=0))  # single sync
         emb = emb[np.concatenate(valids)]

@@ -476,3 +476,38 @@ def test_mesh_load_skips_accel_arrays(mesh24, synthetic_dataset, tmp_path):
     assert meshed.index.ntotal == len(splits["train"])
     assert not meshed.index.build_accel
     assert meshed.index.scan_bf16 is None and meshed.index.gather3 is None
+
+
+def test_sharded_db_build_embed_parity(mesh24, synthetic_dataset):
+    """config.shard_db_build=True: DB-build embed batches shard over the
+    'data' axis (the production multi-chip path, auto-disabled on
+    cpu-platform meshes for compile cost) and the embeddings are
+    numerically identical to the single-chip path."""
+    from radad_tpu.config import Config
+    from radad_tpu.data.manifest import load_manifests
+    from radad_tpu.models.encoder import FrozenEncoder
+    from radad_tpu.models.wav2vec2 import Wav2Vec2Config, init_params
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    acfg = Wav2Vec2Config(
+        hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=32, conv_dim=(8, 8), conv_kernel=(10, 8),
+        conv_stride=(5, 4), num_conv_pos_embeddings=8,
+        num_conv_pos_embedding_groups=2)
+    enc = FrozenEncoder(name="wav2vec2", model_name="tiny", arch_cfg=acfg,
+                        params=init_params(jax.random.PRNGKey(0), acfg),
+                        pretrained=False, layers_to_use=(-1,))
+    splits = load_manifests(synthetic_dataset, data_fraction=1.0,
+                            train_split=0.8, seed=42)
+    base = Config().replace(
+        data_root="/tmp/sharded_embed_a", db_batch_size=8,
+        use_layer_norm=True, use_batch_norm=False,
+        train_data_path=synthetic_dataset, test_data_path=synthetic_dataset)
+    single = DetectionPipeline(base, encoder=enc)
+    want = single.get_embeddings(splits["train"])
+
+    sharded_cfg = base.replace(data_root="/tmp/sharded_embed_b",
+                               shard_db_build=True)
+    meshed = DetectionPipeline(sharded_cfg, encoder=enc, mesh=mesh24)
+    got = meshed.get_embeddings(splits["train"])
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
