@@ -45,6 +45,10 @@ import numpy as np
 
 from radad_tpu.ops import topk as topk_ops
 
+import logging
+
+logger = logging.getLogger(__name__)
+
 _PAD = 1024  # capacity quantum: keeps search shapes stable across small adds
 _LANES = 128  # TPU lane width: tile size for the hierarchical k-select
 
@@ -79,6 +83,7 @@ class FlatIndex:
 
     def __init__(self, dimension: int, metric: str = "L2", *,
                  nlist: int = 0, nprobe: int = 32,
+                 kmeans_iters: int = 25,
                  use_pallas: Optional[bool] = None,
                  use_float16: bool = False,
                  add_batch_size: int = 10000,
@@ -95,6 +100,10 @@ class FlatIndex:
         self.use_float16 = bool(use_float16)
         self.nlist = int(nlist)
         self.nprobe = int(nprobe)
+        # Lloyd iterations for IVF centroid training; default 25 = FAISS's
+        # ClusteringParameters.niter, which the reference's IndexIVFFlat
+        # training inherits (vector_database.py:122-130).
+        self.kmeans_iters = int(kmeans_iters)
         # Upload granularity for incremental adds — the reference's
         # config.vector_add_batch_size / add_vectors_batch chunking
         # (vector_database.py:108-151).
@@ -269,11 +278,19 @@ class FlatIndex:
     def _train_ivf(self, vecs: np.ndarray) -> None:
         from radad_tpu.index.ivf import kmeans
 
-        nlist = self.nlist or min(4096, max(64, int(np.sqrt(self.n)) * 4))
-        self.nlist = nlist
+        # Reference default: nlist = max(64, config.ivf_nlist=4096)
+        # (vector_database.py:66-68) — clamped here to the training-set
+        # size (FAISS hard-errors when nx < k; we degrade gracefully
+        # since synthetic/test DBs are often < 4096 rows).
+        nlist = self.nlist or max(64, 4096)
         train = vecs[: min(len(vecs), 50000)]  # FAISS-style capped train set
-        cents, _ = kmeans(jnp.asarray(train), nlist, iters=10,
-                          seed=0)
+        if nlist > len(train):
+            logger.info("IVF nlist %d > %d training rows; clamping",
+                        nlist, len(train))
+            nlist = max(1, len(train))
+        self.nlist = nlist
+        cents, _ = kmeans(jnp.asarray(train), nlist,
+                          iters=self.kmeans_iters, seed=0)
         self.centroids = cents
         cells = np.asarray(
             _assign_cells(self.vectors, cents))  # padded rows get some cell; masked by n anyway
@@ -446,13 +463,18 @@ def _hier_candidates(scores, k):
     so its tile ranks ≤ j by tile-max, and (b) is beaten by ≤ j-1 elements
     within its own tile, so it survives j rounds of per-tile max-extract.
     With T = max(8, k), m = max(5, k) the set is an exact superset of the
-    top-k PLUS T·m − k near-ties of margin for the stage-1 bf16 rounding
-    (measured recall@5 = 1.0 vs the f32 oracle at ITW scale).
+    top-k PLUS T·m − k near-ties of margin for the stage-1 bf16 rounding.
+    When MORE than T·m rows tie within bf16 resolution of the k-th
+    neighbor, true f32 neighbors can still be displaced — the third
+    return value ``spill`` (the max score among NON-candidates, [B]) lets
+    the caller certify the result against a rounding-error bound and fall
+    back to a full-precision scan when the certificate fails (see
+    ``_search_fast_exact``).
 
     This replaces ``lax.top_k(scores, R)``, whose sort costs ~0.7 ms at
     [256, 25.6k] on v5e — the tile route is ~0.15 ms.
 
-    Returns (cand_scores [B, T*m], cand_rows [B, T*m] i32).
+    Returns (cand_scores [B, T*m], cand_rows [B, T*m] i32, spill [B]).
     """
     b, cap = scores.shape
     pad = (-cap) % _LANES  # no-op for FlatIndex (capacity quantum 1024)
@@ -476,19 +498,33 @@ def _hier_candidates(scores, k):
         vals.append(best)
         rows.append(tsel * _LANES + jnp.minimum(bidx, _LANES - 1))
         cand = jnp.where(col == bidx[..., None], -jnp.inf, cand)
+    # Max score NOT in the candidate set: the best value still left in the
+    # selected tiles after the m extraction rounds, or the best unselected
+    # tile's max.
+    unsel_max = jnp.max(
+        jax.vmap(lambda t, s: t.at[s].set(-jnp.inf))(tmax, tsel), axis=-1)
+    spill = jnp.maximum(jnp.max(cand, axis=(-2, -1)), unsel_max)  # [B]
     return (jnp.concatenate(vals, axis=-1),
-            jnp.concatenate(rows, axis=-1).astype(jnp.int32))
+            jnp.concatenate(rows, axis=-1).astype(jnp.int32),
+            spill)
 
 
-def _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k, larger_better):
+def _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k, larger_better,
+                       vectors=None):
     """Two-stage exact search: bf16 MXU scan → hierarchical candidate
     select → fused Pallas DMA-gather + f32 dot rerank (ops/rerank.py).
 
-    Exactness: candidate scores are re-scored as exact f32 dots against the
-    f32-stored rows; the candidate set provably covers the bf16-scan top-k
-    and recall@5 = 1.0 vs the f32 oracle is asserted at bench time (bf16
-    stage-1 rounding never displaced a true neighbor out of the T·m
-    candidate margin in any measurement).
+    Exactness is CERTIFIED, not assumed: candidate scores are re-scored as
+    exact f32 dots against the stored rows, and a per-query certificate
+    checks that no non-candidate row could beat the k-th reranked score
+    even under worst-case bf16 rounding of the stage-1 scan
+    (|Δdot| ≤ 3·2⁻⁸·‖q‖·max‖x‖; we use 8× for slack). When >T·m rows tie
+    within bf16 resolution of the k-th neighbor the certificate fails and
+    an in-graph ``lax.cond`` falls back to the full-precision scan —
+    adversarial distance spectra (property-tested in
+    tests/test_index.py::test_fast_exact_near_tie_certificate) now return
+    the true top-k instead of a silently-rounded one. On benign data the
+    fallback branch never executes.
 
     Measured v5e, ITW scale (B=256, N=25.4k, D=5376, k=5): 0.92 ms/batch →
     ~279k QPS, vs 2.4 ms for the single HIGHEST-precision scan and ~29 ms
@@ -499,7 +535,8 @@ def _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k, larger_better):
 
     b, d = q.shape
     cap = scan_bf16.shape[0]
-    qsq = jnp.sum(q.astype(jnp.float32) ** 2, -1, keepdims=True)
+    qf = q.astype(jnp.float32)
+    qsq = jnp.sum(qf ** 2, -1, keepdims=True)
     qx = jax.lax.dot_general(
         q.astype(jnp.bfloat16), scan_bf16,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -507,11 +544,10 @@ def _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k, larger_better):
     scores = qx if larger_better else -(qsq - 2.0 * qx + xsq[None, :])
     scores = jnp.where(mask, -jnp.inf, scores)
 
-    cand_vals, cand_rows = _hier_candidates(scores, k)
+    cand_vals, cand_rows, spill = _hier_candidates(scores, k)
     safe = jnp.clip(cand_rows, 0, cap - 1)
     sub_pad = gather3.shape[1]  # D padded up for sub-f32 sublane alignment
-    q3 = jnp.pad(q.astype(jnp.float32),
-                 ((0, 0), (0, sub_pad * _LANES - d))
+    q3 = jnp.pad(qf, ((0, 0), (0, sub_pad * _LANES - d))
                  ).reshape(b, sub_pad, _LANES)
     qc = exact_dot(q3, gather3, safe)
     if larger_better:
@@ -528,7 +564,43 @@ def _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k, larger_better):
     idx = jnp.where(valid, top_idx, -1).astype(jnp.int32)
     dists = jnp.where(valid, dists,
                       jnp.inf if not larger_better else -jnp.inf)
-    return dists, idx
+    if vectors is None:
+        return dists, idx
+
+    # --- bf16-margin exactness certificate -------------------------------
+    # A non-candidate row's true (f32) score is ≤ its bf16-scan score +
+    # err, with err ≤ c·ε·‖q‖·‖x_row‖ (ε = 2⁻⁸ bf16 unit roundoff; c = 3
+    # analytic for the dot itself, L2 scores double it; 8 gives slack for
+    # f32 accumulation). If the k-th reranked score clears spill + err the
+    # fast result is provably the true top-k; otherwise rescan at full
+    # precision.
+    eps = jnp.float32(8.0 * 2.0 ** -8)
+    qnorm = jnp.sqrt(jnp.maximum(jnp.sum(qf ** 2, -1), 0.0))  # [B]
+    maxnorm = jnp.sqrt(jnp.maximum(jnp.max(xsq), 0.0))
+    margin = eps * qnorm * maxnorm  # [B]
+    kth = top_scores[:, -1]
+    certified = jnp.all((kth >= spill + margin)
+                        | ~jnp.isfinite(spill))
+
+    def _keep(_):
+        return dists, idx
+
+    def _full_rescan(_):
+        qxf = jax.lax.dot_general(
+            qf, vectors.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        s = qxf if larger_better else -(qsq - 2.0 * qxf + xsq[None, :])
+        s = jnp.where(mask, -jnp.inf, s)
+        ts, ti = jax.lax.top_k(s, k)
+        ok = jnp.isfinite(ts)
+        dd = ts if larger_better else -ts
+        return (jnp.where(ok, dd,
+                          jnp.inf if not larger_better else -jnp.inf),
+                jnp.where(ok, ti, -1).astype(jnp.int32))
+
+    return jax.lax.cond(certified, _keep, _full_rescan, None)
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "n_valid", "nprobe",
@@ -590,7 +662,7 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
         if probe_mask is not None:
             mask = mask | ~probe_mask
         return _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k,
-                                  larger_better)
+                                  larger_better, vectors=vectors)
 
     if use_pallas and metric != "IVF":
         # Fused kernel scan (bf16 MXU) over-fetches R candidates; the shared

@@ -99,7 +99,9 @@ def _sq8_search(q, v_codes, v_scale, v_norm_sq, ids, exclude_ids, k, *,
         from radad_tpu.ops.rerank import exact_dot
 
         b, d = q.shape
-        cand_scores, cand_idx = _hier_candidates(scores, k)
+        # spill unused: SQ8 is approximate by contract (int8 rounding),
+        # so no exactness certificate applies here.
+        cand_scores, cand_idx, _ = _hier_candidates(scores, k)
         safe = jnp.clip(cand_idx, 0, cap - 1)
         sub_pad = codes3.shape[1]  # D padded up for int8 sublane alignment
         q3 = jnp.pad(q.astype(jnp.float32),

@@ -280,8 +280,8 @@ def test_hier_candidates_superset(rng):
     for cap, k in [(1024, 5), (2000, 5), (1280, 13)]:
         scores = rng.standard_normal((9, cap)).astype(np.float32)
         scores[2, 100:200] = -np.inf  # excluded rows
-        vals, rows = _hier_candidates(jnp.asarray(scores), k)
-        vals, rows = np.asarray(vals), np.asarray(rows)
+        vals, rows, spill = _hier_candidates(jnp.asarray(scores), k)
+        vals, rows, spill = np.asarray(vals), np.asarray(rows), np.asarray(spill)
         oracle = np.argsort(-scores, axis=1)[:, :k]
         for b in range(scores.shape[0]):
             top = set(oracle[b][np.isfinite(scores[b][oracle[b]])])
@@ -291,6 +291,11 @@ def test_hier_candidates_superset(rng):
         finite = np.isfinite(vals)
         got = np.take_along_axis(scores, safe, axis=1)
         assert np.array_equal(got[finite], vals[finite])
+        # spill == the max score over rows NOT in the candidate set
+        for b in range(scores.shape[0]):
+            outside = np.setdiff1d(np.arange(cap), rows[b])
+            want = np.max(scores[b][outside]) if len(outside) else -np.inf
+            assert spill[b] == want, (b, spill[b], want)
 
 
 def test_exact_dot_interpret(rng):
@@ -505,3 +510,128 @@ def test_sq8_exclude_mode_self(rng):
     i_batch = np.asarray(i_batch)
     for r in range(b):
         assert not (set(i_batch[r]) & set(range(b)))
+
+
+def test_fast_exact_near_tie_certificate():
+    """Property test (VERDICT r2 #9): DB rows constructed so that >T*m rows
+    tie within bf16 resolution of the k-th neighbor. The uncertified fast
+    path provably displaces true neighbors on this spectrum; the bf16-margin
+    certificate + in-graph full-precision fallback must restore
+    recall@k = 1.0 vs the f64 oracle for k in {5, 20, 100}.
+
+    Tie spacing (3e-3 per row, score deltas ~0.05) sits well above f32 scan
+    noise (~5e-4 at these magnitudes) and far below bf16 resolution (~10),
+    so the f32 oracle is unambiguous while the bf16 stage-1 scan cannot
+    rank the tied block."""
+    import jax.numpy as jnp
+
+    from radad_tpu.index import flat as flat_mod
+    from radad_tpu.ops.gather import to_gather_layout
+    from radad_tpu.ops import rerank as rerank_mod
+
+    # own deterministic stream: the adversarial construction must not
+    # depend on how many earlier tests consumed the shared fixture
+    rng = np.random.default_rng(7)
+    orig = rerank_mod.exact_dot
+    rerank_mod.exact_dot = lambda q3, x3, idx: orig(q3, x3, idx,
+                                                    interpret=True)
+    saw_uncertified_failure = False
+    try:
+        for k in (5, 20, 100):
+            n, d, b, cap = 900, 256, 4, 1024
+            q = rng.standard_normal((b, d)).astype(np.float32)
+            x = np.zeros((cap, d), np.float32)
+            x[:n] = rng.standard_normal((n, d)).astype(np.float32) * 3.0
+            base = q[0] + 0.5 * rng.standard_normal(d).astype(np.float32)
+            for i in range(400):  # 400 near-tied rows >> T*m = 40 at k=5
+                u = rng.standard_normal(d).astype(np.float32)
+                x[i] = base + 3e-3 * i * u / np.linalg.norm(u)
+            ids = np.full((cap,), -1, np.int32)
+            ids[:n] = np.arange(n)
+            excl = jnp.full((b,), -2, jnp.int32)
+            xd = jnp.asarray(x)
+            xsq = jnp.sum(jnp.square(xd), -1)
+            g3 = to_gather_layout(xd)
+            d2 = ((q.astype(np.float64)[:, None, :]
+                   - x[None, :n, :].astype(np.float64)) ** 2).sum(-1)
+            oracle = np.argsort(d2, axis=1)[:, :k]
+
+            # (a) certified path through the public search graph: exact
+            _, i_fast = flat_mod._search_device(
+                jnp.asarray(q), xd, jnp.asarray(ids), excl, k,
+                metric="L2", n_valid=n, xsq=xsq,
+                scan_bf16=xd.astype(jnp.bfloat16), gather3=g3)
+            i_fast = np.asarray(i_fast)
+            for row in range(b):
+                assert set(i_fast[row]) == set(oracle[row]), (k, row)
+
+            # (b) the construction genuinely bites: without the
+            # certificate (vectors=None disables it) at least one query
+            # loses a true neighbor for small k
+            mask = (jnp.arange(cap) >= n)[None, :] | jnp.zeros(
+                (b, cap), bool)
+            _, i_raw = flat_mod._search_fast_exact(
+                jnp.asarray(q), xd.astype(jnp.bfloat16), g3, xsq, mask,
+                k, False)
+            i_raw = np.asarray(i_raw)
+            if any(set(i_raw[r]) != set(oracle[r]) for r in range(b)):
+                saw_uncertified_failure = True
+    finally:
+        rerank_mod.exact_dot = orig
+    assert saw_uncertified_failure, (
+        "adversarial construction no longer defeats the uncertified path; "
+        "strengthen the test data")
+
+
+def test_ivf_clustered_recall_nprobe_sweep(rng):
+    """IVF on CLUSTERED (mixture-of-Gaussians) data — the regime k-means
+    exists for, and the hard case uniform-random data never exercises
+    (VERDICT r2 #6). Recall vs the exact index must rise monotonically-ish
+    with nprobe and reach 1.0 at nprobe = nlist; at nprobe = nlist/4 the
+    trained quantizer should already recover nearly everything because
+    true neighbors share the query's cluster."""
+    d, n_clusters, per, k = 48, 40, 100, 5
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 10
+    x = np.concatenate([
+        c + rng.standard_normal((per, d)).astype(np.float32)
+        for c in centers])
+    n = len(x)
+    labels = np.zeros(n, np.float32)
+    paths = [f"f{i}.wav" for i in range(n)]
+    # queries drawn from the same mixture
+    qc = centers[rng.integers(0, n_clusters, 25)]
+    q = (qc + rng.standard_normal((25, d)).astype(np.float32)).astype(
+        np.float32)
+
+    flat = FlatIndex(d, "L2", use_pallas=False)
+    flat.add(x, labels, paths)
+    _, exact = flat.search(q, k)
+
+    ivf = FlatIndex(d, "IVF", nlist=64, use_pallas=False)
+    ivf.add(x, labels, paths)
+    assert ivf.kmeans_iters == 25  # FAISS ClusteringParameters.niter parity
+
+    last = 0.0
+    recalls = {}
+    for nprobe in (1, 4, 16, 64):
+        _, approx = ivf.search(q, k, nprobe=nprobe)
+        recalls[nprobe] = np.mean([
+            len(set(exact[b]) & set(approx[b])) / k for b in range(len(q))])
+    assert recalls[64] == 1.0  # exhaustive probe == exact
+    assert recalls[16] >= 0.95, recalls  # quarter-probe on clustered data
+    assert recalls[1] <= recalls[4] + 1e-9 <= recalls[16] + 2e-9, recalls
+
+
+def test_ivf_kmeans_iters_configurable(rng):
+    """kmeans_iters flows from config through FlatIndex to training;
+    nlist defaults to the reference's 4096 clamped to the train-set size
+    (vector_database.py:66-68)."""
+    from radad_tpu.config import Config
+
+    assert Config().vector_db_kmeans_iters == 25
+    x = rng.standard_normal((200, 16)).astype(np.float32)
+    idx = FlatIndex(16, "IVF", kmeans_iters=3, use_pallas=False)
+    idx.add(x, np.zeros(200, np.float32), [f"f{i}" for i in range(200)])
+    assert idx.kmeans_iters == 3
+    # unset nlist → reference default 4096, clamped to the 200 train rows
+    assert idx.nlist == 200
