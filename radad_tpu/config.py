@@ -84,6 +84,10 @@ class Config:
     vector_db_index_type: str = "L2"  # {"L2", "IP", "COSINE", "IVF"}
     vector_db_nprobe: int = 32  # later-wins value of the duplicate assignment
     vector_db_nlist: int = 4096
+    # Lloyd iterations for IVF centroid training (FAISS
+    # ClusteringParameters.niter default = 25, which the reference's
+    # IndexIVFFlat.train inherits, vector_database.py:122-130).
+    vector_db_kmeans_iters: int = 25
     vector_add_batch_size: int = 10000
     top_k: int = 5
 
@@ -138,6 +142,12 @@ class Config:
     # epochs. Numerically identical (same floats), orders of magnitude
     # faster per epoch. Set False to force reference-style recompute.
     cache_embeddings: bool = True
+    # ABLATION switch (no reference counterpart): zero the retrieved
+    # neighbor vectors/labels in train and eval steps. Used to measure how
+    # much the retrieval-augmentation path contributes to detection
+    # quality (a nonzero EER delta vs the default proves the retrieval
+    # machinery is load-bearing, not a pass-through).
+    ablate_retrieval: bool = False
     # Shard DB-build embed batches over the mesh 'data' axis so the
     # dominant multi-chip phase scales. None = auto: on for meshes of real
     # accelerators, off for cpu-platform (virtual test) meshes where the

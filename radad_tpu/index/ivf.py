@@ -19,12 +19,15 @@ import jax.numpy as jnp
 
 
 @partial(jax.jit, static_argnames=("nlist", "iters"))
-def kmeans(x: jnp.ndarray, nlist: int, iters: int = 10, seed: int = 0
+def kmeans(x: jnp.ndarray, nlist: int, iters: int = 25, seed: int = 0
            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Lloyd k-means: → (centroids [nlist, D], assignments [N]).
 
     Initialization: random distinct rows (FAISS default is also sampled
-    points). Empty clusters keep their previous centroid.
+    points). Empty clusters keep their previous centroid. ``iters``
+    defaults to 25, FAISS's ``ClusteringParameters.niter`` default — the
+    reference's ``IndexIVFFlat.train`` path uses it unchanged
+    (vector_database.py:122-130).
     """
     n, d = x.shape
     key = jax.random.PRNGKey(seed)

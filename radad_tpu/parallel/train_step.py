@@ -23,18 +23,22 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from radad_tpu.parallel.mesh import batch_sharding, replicated
 from radad_tpu.parallel.sharded_index import sharded_retrieve
-from radad_tpu.train import optim
-from radad_tpu.train.pipeline import make_embed_fn
+from radad_tpu.train.pipeline import ACC_KEYS, make_embed_fn, make_step_fns
 
 
 def make_parallel_train_step(model, encoder, config, opt, mesh: Mesh,
                              metric: str = "L2"):
     """Build the jitted mesh-wide train step.
+
+    The update rule is NOT reimplemented here: the step wraps the same
+    ``make_step_fns`` core as ``DetectionPipeline._build_steps`` behind an
+    in-step encoder embed, so the production pipeline step and this one
+    cannot drift (VERDICT r2 #5; parity pinned by
+    tests/test_parallel.py::test_parallel_step_matches_pipeline_step).
 
     Signature of the returned function:
       step(variables, opt_state, enc_params,
@@ -43,41 +47,34 @@ def make_parallel_train_step(model, encoder, config, opt, mesh: Mesh,
       -> (variables, opt_state, metrics_dict)
     """
     embed = make_embed_fn(encoder, config)
-    k = config.top_k
 
-    def step(variables, opt_state, enc_params, index_args, audio,
-             batch_labels, exclude_ids, valid, pos_weight, rng):
+    def retrieve(index_args, tpp, exclude_ids, *, k, metric, n_valid):
+        del n_valid  # row_valid mask carries validity on the mesh
         vectors, labels, ids, row_valid = index_args
-        tpp = embed(enc_params, audio)
         ret = sharded_retrieve(
             mesh, tpp, vectors, labels, ids, row_valid, exclude_ids,
             k=k, metric=metric)
-        neighbors = jnp.nan_to_num(ret.neighbors)
+        return ret.neighbors, ret.labels, ret.dists, ret.indices
 
-        def loss_fn(params):
-            vs = {**variables, "params": params}
-            logits = model.apply(
-                vs, neighbors, tpp, deterministic=False,
-                use_running_average=True, rngs={"dropout": rng})
-            return optim.pos_weighted_bce(logits, batch_labels, pos_weight,
-                                          valid), logits
+    core_step, _ = make_step_fns(
+        model, opt, retrieve, k=config.top_k, metric=metric, n_valid=0,
+        grad_checkpoint=config.use_gradient_checkpointing)
 
-        (loss, logits), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(variables["params"])
-        gnorms = optim.group_grad_norms(grads)
-        updates, opt_state = opt.update(grads, opt_state,
-                                        variables["params"])
-        new_params = optax.apply_updates(variables["params"], updates)
-        vmask = valid.astype(jnp.float32)
+    def step(variables, opt_state, enc_params, index_args, audio,
+             batch_labels, exclude_ids, valid, pos_weight, rng):
+        tpp = embed(enc_params, audio)
+        acc = {key: jnp.float32(0.0) for key in ACC_KEYS}
+        new_vars, opt_state, _acc, bm = core_step(
+            variables, opt_state, acc, index_args, tpp, batch_labels,
+            exclude_ids, valid, pos_weight, rng)
         metrics = {
-            "loss": loss,
-            "acc": jnp.sum(((logits > 0).astype(jnp.float32) == batch_labels)
-                           * vmask) / jnp.maximum(jnp.sum(vmask), 1.0),
-            "grad_norm_projection": gnorms["projection_layer"],
-            "grad_norm_fuse": gnorms["fuse"],
-            "grad_norm_detection": gnorms["detection_model"],
+            "loss": bm["loss"],
+            "acc": bm["acc"],
+            "grad_norm_projection": bm["gn_proj"],
+            "grad_norm_fuse": bm["gn_fuse"],
+            "grad_norm_detection": bm["gn_det"],
         }
-        return {**variables, "params": new_params}, opt_state, metrics
+        return new_vars, opt_state, metrics
 
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)

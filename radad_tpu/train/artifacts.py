@@ -158,9 +158,32 @@ class WandbShim:
         try:
             import wandb
 
-            self.run = wandb.init(project="radad-tpu", mode="offline")
+            self.run = wandb.init(project="radad-tpu",
+                                  mode=self._resolve_mode())
         except Exception as e:
             logger.warning("wandb disabled: %s", e)
+
+    @staticmethod
+    def _resolve_mode() -> str:
+        """Resolve the wandb mode like the reference resolves its API key
+        (pipeline.py:29-52: Colab secret / ``WANDB_API_KEY`` env → online
+        run). Explicit ``WANDB_MODE`` wins; otherwise a configured API key
+        (env var or ~/.netrc login) selects online; the fallback is
+        offline so a no-egress host still records runs locally."""
+        explicit = os.environ.get("WANDB_MODE")
+        if explicit:
+            return explicit
+        if os.environ.get("WANDB_API_KEY"):
+            return "online"
+        try:
+            import netrc
+
+            auth = netrc.netrc().authenticators("api.wandb.ai")
+            if auth is not None:
+                return "online"
+        except Exception:
+            pass
+        return "offline"
 
     @property
     def active(self) -> bool:

