@@ -55,6 +55,104 @@ def synth_clip(rng: np.random.Generator, f0: float, dur: float, sr: int,
     return (wave * envelope * 0.5).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# HARD mode (VERDICT r2 #2): the legacy generator above is perfectly
+# separable at scale — EER 0.00% from epoch 1, i.e. a benchmark that can't
+# detect a quality regression. Hard mode constructs a task with an
+# explicit, tunable Bayes floor so the at-scale EER lands in a sensitive
+# band (~3-15%) where encoder/TPP/retrieval/fusion regressions MOVE the
+# number:
+#
+#   * six spoof ATTACK FAMILIES (inharmonic partial, amplitude
+#     quantization, frame buzz, synthesis lowpass, tremolo, mains-hum
+#     + quantization) with per-clip artifact strength drawn from a
+#     half-normal — a controlled fraction of spoof clips carries
+#     near-undetectable artifacts (overlapping class distributions);
+#   * bona-fide confounders: occasional weak hum / mild quantization /
+#     band-limit, so "any artifact → spoof" is not a separating rule;
+#   * additive pink noise at SNR ~ U(15, 35) dB and per-clip level jitter
+#     ±6 dB on BOTH classes (masks weak artifacts stochastically);
+#   * --families picks which attack families appear → generate train and
+#     eval sets over DISJOINT families for generalization runs;
+#   * --speaker_offset shifts the speaker id range → speaker-disjoint
+#     eval sets (macro-EER over unseen speakers).
+# ---------------------------------------------------------------------------
+
+HARD_FAMILIES = ("inharmonic", "quantize", "buzz", "lowpass", "tremolo",
+                 "hum")
+
+
+def _pink(rng, n):
+    noise = rng.standard_normal(n)
+    noise = np.cumsum(noise) / np.sqrt(np.arange(1, n + 1))
+    return noise / (np.std(noise) + 1e-9)
+
+
+def _lowpass(wave, sr, cutoff_hz):
+    # one-pole IIR via FFT mask (cheap, artifact-free enough here)
+    spec = np.fft.rfft(wave)
+    freqs = np.fft.rfftfreq(len(wave), 1.0 / sr)
+    spec *= 1.0 / np.sqrt(1.0 + (freqs / cutoff_hz) ** 6)
+    return np.fft.irfft(spec, n=len(wave))
+
+
+def synth_clip_hard(rng: np.random.Generator, f0: float, dur: float,
+                    sr: int, spoof: bool, family: str) -> np.ndarray:
+    t = np.arange(int(sr * dur)) / sr
+    vibrato = 1.0 + 0.01 * np.sin(2 * np.pi * 5.0 * t + rng.uniform(0, 6.28))
+    wave = np.zeros_like(t)
+    for h in range(1, 6):
+        wave += (1.0 / h) * np.sin(2 * np.pi * h * f0 * vibrato * t
+                                   + rng.uniform(0, 6.28))
+    wave *= 0.25
+
+    # bona-fide confounders (weak spoof-like traits on the negative class)
+    if not spoof:
+        if rng.random() < 0.06:  # recording hum
+            wave += 0.015 * np.sin(2 * np.pi * 50.0 * t)
+        if rng.random() < 0.06:  # mild codec quantization
+            wave = np.round(wave * 256) / 256
+        if rng.random() < 0.06:  # narrow phone-like band
+            wave = _lowpass(wave, sr, rng.uniform(3000, 5000))
+    else:
+        # half-normal strength: ~12% of spoofs below 0.35x nominal —
+        # near the noise floor, deliberately hard or impossible
+        s = abs(rng.normal(0.0, 1.0)) * 0.7 + 0.15
+        if family == "inharmonic":
+            wave += (0.10 * s) * np.sin(2 * np.pi * (2.41 * f0) * t
+                                        + rng.uniform(0, 6.28))
+        elif family == "quantize":
+            levels = int(max(24, 160 / max(s, 1e-3)))
+            wave = np.round(wave * levels) / levels
+        elif family == "buzz":
+            rate = rng.uniform(40.0, 80.0)
+            wave += (0.04 * s) * np.sign(np.sin(2 * np.pi * rate * t))
+        elif family == "lowpass":
+            wave = _lowpass(wave, sr, 6000.0 / (1.0 + 2.0 * s))
+        elif family == "tremolo":
+            rate = rng.uniform(15.0, 30.0)
+            wave *= 1.0 + (0.25 * s) * np.sin(2 * np.pi * rate * t)
+        elif family == "hum":
+            wave += (0.05 * s) * np.sin(2 * np.pi * 50.0 * t)
+            wave = np.round(wave * 96) / 96
+
+    # additive pink noise at SNR ~ U(15, 35) dB — both classes
+    snr_db = rng.uniform(15.0, 35.0)
+    sig_rms = np.sqrt(np.mean(wave ** 2)) + 1e-9
+    noise_rms = sig_rms / (10.0 ** (snr_db / 20.0))
+    wave = wave + noise_rms * _pink(rng, len(t))
+
+    # level jitter ±6 dB
+    wave *= 10.0 ** (rng.uniform(-6.0, 6.0) / 20.0)
+
+    envelope = np.minimum(1.0, np.minimum(t / 0.05, (dur - t) / 0.05))
+    wave = wave * envelope * 0.5
+    peak = np.max(np.abs(wave)) + 1e-9
+    if peak > 0.99:  # avoid clipping after jitter
+        wave = wave * (0.99 / peak)
+    return wave.astype(np.float32)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", required=True)
@@ -65,16 +163,31 @@ def main():
     p.add_argument("--spoof_ratio", type=float, default=0.625,
                    help="fraction of spoof clips; default ~ITW's 62.5%%, "
                         "use 0.473 for FakeAVCeleb's 52.66%% bona-fide")
+    p.add_argument("--hard", action="store_true",
+                   help="overlapping-distribution task with attack "
+                        "families + noise (EER lands ~3-15%% instead of "
+                        "saturating at 0)")
+    p.add_argument("--families", default=",".join(HARD_FAMILIES),
+                   help="comma list of spoof attack families (hard mode); "
+                        "use disjoint sets for train vs eval dirs")
+    p.add_argument("--speaker_offset", type=int, default=0,
+                   help="first speaker id (hard mode); offset eval dirs "
+                        "for speaker-disjoint evaluation")
     args = p.parse_args()
 
     from radad_tpu.data.audio import write_wav
 
     rng = np.random.default_rng(args.seed)
+    families = [f.strip() for f in args.families.split(",") if f.strip()]
+    for f in families:
+        if f not in HARD_FAMILIES:
+            raise SystemExit(f"unknown attack family {f!r}; "
+                             f"choose from {HARD_FAMILIES}")
     os.makedirs(args.out, exist_ok=True)
     rows = []
     for i in range(args.n):
-        spk = i % args.speakers
-        f0 = 110.0 * (2.0 ** (spk / 12.0)) * rng.uniform(0.98, 1.02)
+        spk = args.speaker_offset + (i % args.speakers)
+        f0 = 110.0 * (2.0 ** ((spk % 24) / 12.0)) * rng.uniform(0.98, 1.02)
         dur = rng.uniform(1.0, 4.0)
         if args.spoof_ratio == 0.625:
             # original pattern, byte-for-byte reproducibility of the
@@ -85,7 +198,12 @@ def main():
             label = ("spoof"
                      if (i * args.spoof_ratio) % 1.0 + args.spoof_ratio
                      >= 1.0 else "bona-fide")  # deterministic ratio mix
-        wave = synth_clip(rng, f0, dur, args.sr, label == "spoof")
+        if args.hard:
+            family = families[i % len(families)]
+            wave = synth_clip_hard(rng, f0, dur, args.sr,
+                                   label == "spoof", family)
+        else:
+            wave = synth_clip(rng, f0, dur, args.sr, label == "spoof")
         fname = f"clip_{i:05d}.wav"
         write_wav(os.path.join(args.out, fname), wave, args.sr)
         rows.append((fname, f"speaker_{spk:02d}", label))

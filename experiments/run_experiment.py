@@ -54,6 +54,15 @@ def main():
                         "throughput on v5e; this flag exists to record the "
                         "metric delta vs the f32 default (reference AMP "
                         "flag: config.py:73-87)")
+    p.add_argument("--eval_data_path", default=None,
+                   help="optional SECOND dataset dir (meta.csv + audio) "
+                        "evaluated with the trained model after the run — "
+                        "use a generator dir with disjoint attack "
+                        "families/speakers for generalization records")
+    p.add_argument("--ablate_retrieval", action="store_true",
+                   help="zero the retrieved neighbors in train/eval steps "
+                        "(config.ablate_retrieval): measures how much the "
+                        "retrieval path contributes to EER")
     p.add_argument("--whisper_fast", action="store_true",
                    help="whisper_pad_seconds=None: encode only the real "
                         "frames instead of padding every segment to 30 s "
@@ -85,6 +94,7 @@ def main():
         db_batch_size=64, use_batch_norm=False, use_layer_norm=True,
         usewandb=args.wandb,
         use_mixed_precision=args.mixed_precision,
+        ablate_retrieval=args.ablate_retrieval,
         whisper_pad_seconds=None if args.whisper_fast else 30.0)
 
     splits = load_manifests(
@@ -104,11 +114,25 @@ def main():
     last = pipe.train(splits["train"], splits["val"])
     wall = time.time() - t0
 
+    heldout = None
+    if args.eval_data_path:
+        # evaluate the trained model on a fully held-out manifest
+        # (disjoint families/speakers when the generator was asked for
+        # them) — data_fraction=1.0: the eval dir is used whole
+        ev = load_manifests(args.eval_data_path, data_fraction=1.0,
+                            split=False, seed=cfg.random_seed)
+        res = pipe.evaluate(ev["all"])
+        heldout = {k: res.get(k) for k in (
+            "eer_percent", "macro_eer_percent", "auc", "accuracy",
+            "num_samples")}
+
     record = {
         "name": name,
         "encoder": args.encoder,
         "whisper_fast": bool(args.whisper_fast),
         "mixed_precision": bool(args.mixed_precision),
+        "ablate_retrieval": bool(args.ablate_retrieval),
+        "heldout_eval": heldout,
         "pretrained_weights": encoder.pretrained,
         "data_fraction": data_fraction,
         "epochs": epochs,
