@@ -31,6 +31,7 @@ def tiny_w2v2_pair():
     return tm, cfg, convert_wav2vec2(tm.state_dict(), cfg)
 
 
+@pytest.mark.slow
 def test_wav2vec2_parity(rng):
     from radad_tpu.models.wav2vec2 import encode, extract_features
 
@@ -109,6 +110,7 @@ def test_log_mel_matches_hf_whisper_frontend(rng):
     np.testing.assert_allclose(ours.T, hf_out, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_encoder_factory_random_fallback(tmp_path):
     """Registry builds every encoder with random weights when no local
     checkpoint exists; segment_features returns the documented shapes."""

@@ -3,15 +3,16 @@
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8(capsys):
     import jax
 
     if len(jax.devices()) < 8:
-        import pytest
-
         pytest.skip("needs 8 virtual devices")
     import __graft_entry__ as g
 
@@ -20,6 +21,7 @@ def test_dryrun_multichip_8(capsys):
     assert "dryrun_multichip OK" in out
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_subprocess_bootstrap(capsys):
     """Driver contract: when the calling process has fewer devices than
     requested (the driver runs against ONE real TPU chip), dryrun must

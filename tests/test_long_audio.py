@@ -53,6 +53,7 @@ def test_full_length_mask_is_identity(tiny_encoder):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_masked_mean_equals_truncated_grid(tiny_encoder):
     """A 4 s clip inside a 6 s batch, masked, must equal the unmasked embed
     of the same clip padded to exactly its own window cover: the valid
@@ -89,6 +90,7 @@ def test_masked_mean_equals_truncated_grid(tiny_encoder):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_short_clip_drops_pure_padding_window(tiny_encoder):
     """A 1 s clip in the 3 s layout has one real window; masked mode counts
     only it (the reference averages in the pure-zero second window)."""
@@ -127,6 +129,7 @@ def test_loader_reports_true_lengths(synthetic_dataset):
     assert got.min() < got.max()
 
 
+@pytest.mark.slow
 def test_long_audio_training_end_to_end(synthetic_dataset, tiny_encoder,
                                         tmp_path):
     """Full train/eval/predict pass with max_duration=4.0 (the synthetic
