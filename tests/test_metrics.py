@@ -148,3 +148,19 @@ def test_plot_history_from_metrics_csv(tmp_path):
     fig = plot_history(str(tmp_path))
     assert len(fig.axes) == 4
     assert all(ax.lines for ax in fig.axes)  # every panel drew something
+
+
+def test_wandb_mode_resolution(monkeypatch):
+    """WandbShim resolves online/offline like the reference resolves its
+    API key (pipeline.py:29-52): explicit WANDB_MODE wins, an API key
+    selects online, fallback is offline (VERDICT r2 #8)."""
+    from radad_tpu.train.artifacts import WandbShim
+
+    monkeypatch.delenv("WANDB_MODE", raising=False)
+    monkeypatch.delenv("WANDB_API_KEY", raising=False)
+    monkeypatch.setenv("HOME", "/nonexistent")  # hide any ~/.netrc
+    assert WandbShim._resolve_mode() == "offline"
+    monkeypatch.setenv("WANDB_API_KEY", "k-test")
+    assert WandbShim._resolve_mode() == "online"
+    monkeypatch.setenv("WANDB_MODE", "disabled")
+    assert WandbShim._resolve_mode() == "disabled"

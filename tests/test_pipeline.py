@@ -65,6 +65,23 @@ def test_evaluate_metrics(trained):
     assert 0 <= results["auc"] <= 1
     assert results["num_samples"] == len(splits["val"])
     assert np.isnan(results["min_tDCF"])  # ASV params unset → NaN
+    # metrics.csv eval-row column parity (reference pipeline.py:1008-1034;
+    # VERDICT r2 #8): the full column set, train-only columns present-but-
+    # None, batch_size = EVAL batch size
+    row = pipe.writer.rows[-1]
+    assert row["epoch"] == "eval"
+    want_cols = {
+        "epoch", "train_loss", "train_acc", "val_loss", "val_acc", "auc",
+        "eer_percent", "pooled_eer_percent", "macro_eer_percent",
+        "eer_threshold", "min_tDCF", "min_tDCF_threshold",
+        "avg_nnz_neighbor_rate", "avg_grad_norm_projection",
+        "avg_grad_norm_fuse", "avg_grad_norm_detection", "lr_projection",
+        "lr_fuse", "lr_detection", "pos_weight", "epoch_time_sec",
+        "top_k", "batch_size"}
+    assert want_cols <= set(row.keys()), want_cols - set(row.keys())
+    assert row["train_loss"] is None and row["lr_projection"] is None
+    assert row["batch_size"] == pipe.config.eval_batch_size
+    assert row["pooled_eer_percent"] == row["eer_percent"]
 
 
 def test_predict_payload(trained):
