@@ -1,0 +1,224 @@
+"""Million-row index benchmark (VERDICT r2 #4): the engine past toy-N.
+
+FAISS's natural regime (and the reference's nlist=4096 default,
+/root/reference/vector_database.py:66) is ~1e6 rows. At D=5376 an f32 DB
+is 21.5 GB — over one v5e chip's HBM — so the single-chip modes that fit
+are exactly the capacity modes built for this: bf16 storage
+(use_float16, 10.75 GB) and SQ8 int8 (5.4 GB). This script measures, on
+ONE real chip:
+
+  * bf16-storage flat search QPS at N=1e6 + recall@5 vs the host f32
+    oracle on a query sample;
+  * SQ8 search QPS at N=1e6 + recall@5 vs the same oracle;
+  * IVF probe masking over bf16 storage across an nprobe sweep (recall
+    vs exhaustive; the masked scan is O(N) by design, so QPS is flat —
+    the sweep documents the recall/nprobe tradeoff at real scale).
+
+The sharded-f32 correctness path at 1M rows runs on the virtual CPU mesh
+in tests (tests/test_parallel.py::test_sharded_million_rows, reduced D
+for host RAM).
+
+Writes one JSON line per mode to stdout; progress to stderr.
+
+Usage:  python experiments/bench_million.py [--rows 1000000] [--d 5376]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def host_oracle_topk(x: np.ndarray, q: np.ndarray, k: int,
+                     chunk: int = 200_000):
+    """Exact f32 L2 top-k on host, chunked over rows (memory-bounded)."""
+    b = q.shape[0]
+    best_d = np.full((b, k), np.inf, np.float64)
+    best_i = np.full((b, k), -1, np.int64)
+    qsq = (q.astype(np.float64) ** 2).sum(-1, keepdims=True)
+    for lo in range(0, len(x), chunk):
+        xc = x[lo:lo + chunk].astype(np.float32)
+        d = (qsq - 2.0 * (q @ xc.T).astype(np.float64)
+             + (xc.astype(np.float64) ** 2).sum(-1)[None, :])
+        cat_d = np.concatenate([best_d, d], axis=1)
+        cat_i = np.concatenate(
+            [best_i, np.broadcast_to(np.arange(lo, lo + len(xc)),
+                                     (b, len(xc)))], axis=1)
+        sel = np.argpartition(cat_d, k - 1, axis=1)[:, :k]
+        best_d = np.take_along_axis(cat_d, sel, axis=1)
+        best_i = np.take_along_axis(cat_i, sel, axis=1)
+        print(f"# oracle rows {lo + len(xc):,}/{len(x):,}", file=sys.stderr)
+    order = np.argsort(best_d, axis=1)
+    return (np.take_along_axis(best_d, order, axis=1),
+            np.take_along_axis(best_i, order, axis=1))
+
+
+def recall_at_k(got: np.ndarray, want: np.ndarray) -> float:
+    k = want.shape[1]
+    return float(np.mean([len(set(got[r, :k]) & set(want[r, :k])) / k
+                          for r in range(len(want))]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--rows", type=int, default=1_000_000)
+    p.add_argument("--d", type=int, default=5376)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--oracle_queries", type=int, default=64)
+    p.add_argument("--reps", type=int, default=8)
+    p.add_argument("--skip_sq8", action="store_true")
+    p.add_argument("--skip_bf16", action="store_true")
+    p.add_argument("--skip_ivf", action="store_true")
+    args = p.parse_args()
+    n, d, b, k = args.rows, args.d, args.batch, args.k
+
+    import jax
+    import jax.numpy as jnp
+
+    from radad_tpu.index.flat import _search_device
+    from radad_tpu.index.quantized import _sq8_search
+    from radad_tpu.utils.benchmark import chain_time, warmup
+
+    rng = np.random.default_rng(0)
+    print(f"# generating {n:,}x{d} host data (clustered mixture)",
+          file=sys.stderr)
+    # mixture-of-Gaussians: IVF's regime, and realistic for embeddings
+    n_clusters = 1024
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 4.0
+    assign = rng.integers(0, n_clusters, n)
+    x = centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
+    qi = rng.choice(n, args.oracle_queries, replace=False)
+    q_small = x[qi] + 0.1 * rng.standard_normal((args.oracle_queries, d)
+                                                ).astype(np.float32)
+    q_full = np.repeat(q_small, (b + len(q_small) - 1) // len(q_small),
+                       axis=0)[:b]
+
+    t0 = time.time()
+    oracle_d, oracle_i = host_oracle_topk(x, q_small, k)
+    print(f"# host oracle took {time.time() - t0:.0f}s", file=sys.stderr)
+
+    warmup()
+    ids = jnp.arange(((n + 1023) // 1024) * 1024, dtype=jnp.int32)
+    ids = jnp.where(ids < n, ids % 999_983, -1)
+    cap = ids.shape[0]
+    excl = jnp.full((b,), -2, jnp.int32)
+    results = []
+
+    def bench_mode(name, search_fn, qd, consts):
+        # large arrays ride in via consts — closure capture would bake
+        # them into the HLO as constants (relay remote-compile rejects)
+        def step(qs, *cs):
+            vals, idx = search_fn(qs, *cs)
+            return qs + 0.0 * (jnp.sum(jnp.where(jnp.isfinite(vals), vals,
+                                                 0.0))
+                               + 0.0 * jnp.sum(idx.astype(jnp.float32)))
+
+        dt = chain_time(step, qd, n=args.reps, consts=consts)
+        qps = b / dt
+        _, idx = jax.jit(search_fn)(jnp.asarray(
+            np.pad(q_small, ((0, b - len(q_small)), (0, 0)))), *consts)
+        rec = recall_at_k(np.asarray(idx)[:len(q_small)], oracle_i)
+        row = {"metric": f"1M-row {name} top-{k} retrieval", "rows": n,
+               "dim": d, "value": round(qps, 1), "unit": "queries/s",
+               "ms_per_batch": round(dt * 1e3, 3),
+               "recall_at_5_vs_f32_oracle": round(rec, 4)}
+        results.append(row)
+        print(json.dumps(row))
+        print(f"# {name}: {dt*1e3:.2f} ms/batch({b}) -> {qps:,.0f} QPS, "
+              f"recall@{k}={rec:.4f}", file=sys.stderr)
+
+    if not args.skip_bf16:
+        # bf16 storage mode: stored rows ARE bf16 (use_float16 contract)
+        print("# uploading bf16 DB (10.7 GB) via on-device cast",
+              file=sys.stderr)
+        x_bf = jnp.zeros((cap, d), jnp.bfloat16)
+        chunk = 100_000
+        for lo in range(0, n, chunk):
+            x_bf = jax.jit(
+                lambda buf, c, i: jax.lax.dynamic_update_slice(
+                    buf, c.astype(jnp.bfloat16), (i, 0)),
+                donate_argnums=(0,))(x_bf, jnp.asarray(x[lo:lo + chunk]),
+                                     lo)
+        xsq = jax.jit(lambda v: jnp.sum(
+            jnp.square(v.astype(jnp.float32)), -1))(x_bf)
+        sub = d // 128
+        sub_pad = ((sub + 7) // 8) * 8
+        g3 = jax.jit(lambda v: jnp.pad(
+            v, ((0, 0), (0, (sub_pad - sub) * 128))).reshape(
+                cap, sub_pad, 128))(x_bf)
+
+        def search_bf16(qs, x_bf, xsq, g3, ids, excl):
+            return _search_device(
+                qs, x_bf, ids, excl, k, metric="L2", n_valid=n, xsq=xsq,
+                scan_bf16=x_bf, gather3=g3)
+
+        bench_mode("bf16-storage flat", search_bf16, jnp.asarray(q_full),
+                   (x_bf, xsq, g3, ids, excl))
+        if args.skip_ivf:
+            del x_bf, g3, xsq
+        else:
+            # IVF nprobe sweep over the bf16 storage: recall vs exhaustive
+            from radad_tpu.index.ivf import kmeans
+            from radad_tpu.index.flat import _assign_cells
+
+            print("# training IVF k-means (nlist=4096, 25 iters, 50k "
+                  "sample)", file=sys.stderr)
+            train = jnp.asarray(x[:50_000])
+            cents, _ = kmeans(train, 4096, iters=25, seed=0)
+            # chunked assignment: the full [N, nlist] distance matrix is
+            # 16 GB at 1M rows — assign 100k rows at a time
+            assign_j = jax.jit(_assign_cells)
+            cells_np = np.full((cap,), -1, np.int32)
+            for lo in range(0, n, 100_000):
+                hi = min(lo + 100_000, n)
+                cells_np[lo:hi] = np.asarray(
+                    assign_j(jnp.asarray(x[lo:hi]), cents))
+            cells = jnp.asarray(cells_np)
+            for nprobe in (16, 64, 256, 1024):
+                def search_ivf(qs, x_bf, xsq, g3, ids, excl, cents, cells,
+                               nprobe=nprobe):
+                    return _search_device(
+                        qs, x_bf, ids, excl, k, metric="IVF", n_valid=n,
+                        centroids=cents, cells=cells, nprobe=nprobe,
+                        xsq=xsq, scan_bf16=x_bf, gather3=g3)
+
+                bench_mode(f"bf16 IVF nprobe={nprobe}", search_ivf,
+                           jnp.asarray(q_full),
+                           (x_bf, xsq, g3, ids, excl, cents, cells))
+            del x_bf, g3, xsq, cents, cells
+
+    if not args.skip_sq8:
+        print("# quantizing SQ8 DB (5.4 GB codes)", file=sys.stderr)
+        from radad_tpu.index.quantized import QuantizedIndex
+
+        qidx = QuantizedIndex(d, "L2")
+        chunk = 100_000
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            qidx.add(x[lo:hi], np.zeros(hi - lo, np.float32),
+                     [f"r{i}" for i in range(lo, hi)],
+                     ids=list(range(lo, hi)))
+            print(f"# sq8 add {hi:,}/{n:,}", file=sys.stderr)
+
+        def search_sq8(qs, codes, scales, norm_sq, sids, excl, codes3):
+            dists, idx, _ = _sq8_search(
+                qs, codes, scales, norm_sq, sids, excl, k, metric="L2",
+                n_valid=n, codes3=codes3)
+            return dists, idx
+
+        bench_mode("SQ8 int8", search_sq8, jnp.asarray(q_full),
+                   (qidx.codes, qidx.scales, qidx.norm_sq, qidx.ids,
+                    excl, qidx.codes3))
+
+    with open("experiments/million_row_bench.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

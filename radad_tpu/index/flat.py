@@ -292,9 +292,17 @@ class FlatIndex:
         cents, _ = kmeans(jnp.asarray(train), nlist,
                           iters=self.kmeans_iters, seed=0)
         self.centroids = cents
-        cells = np.asarray(
-            _assign_cells(self.vectors, cents))  # padded rows get some cell; masked by n anyway
-        self.cells = jnp.asarray(cells.astype(np.int32))
+        # Chunked assignment: the [N, nlist] distance matrix is 16 GB at
+        # 1M rows x nlist=4096 — never materialize it whole.
+        cap = self.vectors.shape[0]
+        cells = np.empty((cap,), np.int32)
+        assign_j = jax.jit(_assign_cells)
+        chunk = 131_072
+        for lo in range(0, cap, chunk):
+            cells[lo:lo + chunk] = np.asarray(
+                assign_j(self.vectors[lo:lo + chunk], cents))
+        # padded rows get some cell; masked by n anyway
+        self.cells = jnp.asarray(cells)
 
     # ------------------------------------------------------------------
     def search(self, queries, k: int, *, exclude_ids=None,

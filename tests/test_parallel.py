@@ -603,3 +603,45 @@ def test_parallel_step_matches_pipeline_step(mesh24, synthetic_dataset,
                      jax.tree_util.tree_leaves(o2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_sharded_million_rows(mesh24):
+    """Sharded retrieval correctness at N=1e6 rows (VERDICT r2 #4) on the
+    virtual mesh — capacity padding, shard row-offset bookkeeping, and the
+    all_gather merge at a scale where off-by-one shard arithmetic cannot
+    hide. D reduced (1 GB f32) for host RAM; D does not enter the merge
+    logic."""
+    rng = np.random.default_rng(5)
+    n, d, b, k = 1_000_000, 256, 8, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    labels = (rng.random(n) > 0.5).astype(np.float32)
+    ids = (np.arange(n) % 999_983).astype(np.int32)
+    q = (vecs[:: n // b][:b]
+         + 0.1 * rng.standard_normal((b, d)).astype(np.float32))
+
+    sharded = ShardedIndex(mesh24, d, "L2")
+    sharded.build(vecs, labels, ids)
+    ret = sharded.retrieve(jnp.asarray(q), jnp.full((b,), -2, jnp.int32), k)
+    i_got = np.asarray(ret.indices)
+    d_got = np.asarray(ret.dists)
+
+    # numpy oracle, chunked
+    best_d = np.full((b, k), np.inf)
+    best_i = np.full((b, k), -1)
+    qsq = (q.astype(np.float64) ** 2).sum(-1, keepdims=True)
+    for lo in range(0, n, 200_000):
+        xc = vecs[lo:lo + 200_000]
+        dist = (qsq - 2.0 * (q @ xc.T).astype(np.float64)
+                + (xc.astype(np.float64) ** 2).sum(-1)[None])
+        cd = np.concatenate([best_d, dist], 1)
+        ci = np.concatenate(
+            [best_i, np.broadcast_to(np.arange(lo, lo + len(xc)),
+                                     (b, len(xc)))], 1)
+        sel = np.argpartition(cd, k - 1, 1)[:, :k]
+        best_d = np.take_along_axis(cd, sel, 1)
+        best_i = np.take_along_axis(ci, sel, 1)
+    for row in range(b):
+        assert set(i_got[row]) == set(best_i[row]), row
+    np.testing.assert_allclose(np.sort(d_got, 1), np.sort(best_d, 1),
+                               rtol=1e-3, atol=1e-2)
