@@ -73,14 +73,17 @@ def main():
     n_small = 4096
     xs = x_host[:n_small]
     xs_d = jnp.asarray(xs)
+    xs_bf = xs_d.astype(jnp.bfloat16)
     v, i_dev = _search_device(
         jnp.asarray(q_host), xs_d,
         jnp.asarray((np.arange(n_small) % 997).astype(np.int32)),
         jnp.asarray((np.arange(b) % 997).astype(np.int32)),
         k, metric="L2", n_valid=n_small,
         xsq=jnp.sum(jnp.square(xs_d), -1),
-        scan_bf16=xs_d.astype(jnp.bfloat16),
-        gather3=to_gather_layout(xs_d))
+        scan_bf16=xs_bf,
+        gather3=to_gather_layout(xs_d),
+        resid_bf16=(xs_d - xs_bf.astype(jnp.float32)
+                    ).astype(jnp.bfloat16))
     i_dev = np.asarray(i_dev)
     scores = -(np.sum(q_host ** 2, -1, keepdims=True) - 2 * q_host @ xs.T
                + np.sum(xs ** 2, -1)[None, :])
@@ -99,15 +102,18 @@ def main():
     # gather-layout copy for the fused Pallas rerank.
     xsq = jnp.sum(jnp.square(xd), -1)
     x_bf = jax.jit(lambda x: x.astype(jnp.bfloat16))(xd)
+    x_r = jax.jit(lambda x, s: (x - s.astype(jnp.float32)
+                                ).astype(jnp.bfloat16))(xd, x_bf)
     x3 = jax.jit(to_gather_layout)(xd)
 
-    def step(qs, xd, idsd, excld, xsq, x_bf, x3):
+    def step(qs, xd, idsd, excld, xsq, x_bf, x3, x_r):
         vals, _ = _search_device(qs, xd, idsd, excld, k, metric="L2",
                                  n_valid=n, xsq=xsq, scan_bf16=x_bf,
-                                 gather3=x3)
+                                 gather3=x3, resid_bf16=x_r)
         return qs + 0.0 * jnp.sum(jnp.where(jnp.isfinite(vals), vals, 0.0))
 
-    dt = chain_time(step, qd, n=16, consts=(xd, idsd, excld, xsq, x_bf, x3))
+    dt = chain_time(step, qd, n=16,
+                    consts=(xd, idsd, excld, xsq, x_bf, x3, x_r))
     qps = b / dt
     print(f"# tpu: {dt * 1000:.3f} ms/batch → {qps:,.0f} QPS "
           f"({n * d * 4 / dt / 1e9:.0f} GB/s effective)", file=sys.stderr)

@@ -120,6 +120,7 @@ class FlatIndex:
         self.ids: Optional[jnp.ndarray] = None  # [cap] i32
         self.norms_sq: Optional[jnp.ndarray] = None  # [cap] f32 exact row norms
         self.scan_bf16: Optional[jnp.ndarray] = None  # [cap, D] bf16 scan copy
+        self.resid_bf16: Optional[jnp.ndarray] = None  # [cap, D] bf16 rounding residuals
         self.gather3: Optional[jnp.ndarray] = None  # [cap, D/128, 128] f32
         self.paths: List[str] = []
         self.metadata: List[dict] = []
@@ -202,6 +203,8 @@ class FlatIndex:
         if self.scan_bf16 is not None:
             self.scan_bf16 = pad0(self.scan_bf16)
             self.gather3 = pad0(self.gather3)
+            if self.resid_bf16 is not None:
+                self.resid_bf16 = pad0(self.resid_bf16)
         if self.cells is not None:
             self.cells = pad0(self.cells)
         self._cap = new_cap
@@ -223,8 +226,12 @@ class FlatIndex:
         self.ids = _dus(self.ids, jnp.asarray(idc, jnp.int32), start)
         if self.scan_bf16 is not None:
             if not self.use_float16:  # bf16 storage shares self.vectors
-                self.scan_bf16 = _dus(self.scan_bf16,
-                                      dev.astype(jnp.bfloat16), start)
+                rows_bf = dev.astype(jnp.bfloat16)
+                self.scan_bf16 = _dus(self.scan_bf16, rows_bf, start)
+                self.resid_bf16 = _dus(
+                    self.resid_bf16,
+                    (dev - rows_bf.astype(jnp.float32)
+                     ).astype(jnp.bfloat16), start)
             else:
                 self.scan_bf16 = self.vectors
             sub_pad = self.gather3.shape[1]
@@ -258,6 +265,7 @@ class FlatIndex:
         # numpy oracle, asserted in bench.py).
         self.scan_bf16: Optional[jnp.ndarray] = None
         self.gather3: Optional[jnp.ndarray] = None
+        self.resid_bf16: Optional[jnp.ndarray] = None
         if self.build_accel and _accel_eligible(self.dimension):
             # bf16 storage: the stored array IS the scan copy, and the
             # gather source stays bf16 (rerank casts rows to f32 in VMEM —
@@ -266,6 +274,16 @@ class FlatIndex:
             # padded to a multiple of 8 (Mosaic DMA slice alignment).
             self.scan_bf16 = (self.vectors if self.use_float16 else jax.jit(
                 lambda v: v.astype(jnp.bfloat16))(self.vectors))
+            if not self.use_float16:
+                # bf16 rounding residuals of the stored f32 rows: the
+                # x-side error-correction term of the certified scan
+                # (see _search_fast_exact; halves the certificate margin
+                # 52 -> ~27 units at ITW scale so heavy-tail queries still
+                # certify). bf16 storage: stored rows ARE the truth, r=0.
+                self.resid_bf16 = jax.jit(
+                    lambda v, s: (v - s.astype(jnp.float32)
+                                  ).astype(jnp.bfloat16))(
+                    self.vectors, self.scan_bf16)
             sub = self.dimension // _LANES
             sub_pad = sub if not self.use_float16 else ((sub + 7) // 8) * 8
             self.gather3 = jax.jit(
@@ -340,7 +358,8 @@ class FlatIndex:
             centroids=cents, cells=cells,
             nprobe=self.nprobe if nprobe is None else int(nprobe),
             use_pallas=self.use_pallas, xsq=self.norms_sq,
-            scan_bf16=self.scan_bf16, gather3=self.gather3)
+            scan_bf16=self.scan_bf16, gather3=self.gather3,
+            resid_bf16=self.resid_bf16)
         return np.asarray(dists), np.asarray(idx).astype(np.int64)
 
     def search_device(self, q: jnp.ndarray, k: int, *,
@@ -357,7 +376,8 @@ class FlatIndex:
             metric=self.metric, n_valid=self.n,
             centroids=cents, cells=cells, nprobe=self.nprobe,
             use_pallas=self.use_pallas, xsq=self.norms_sq,
-            scan_bf16=self.scan_bf16, gather3=self.gather3)
+            scan_bf16=self.scan_bf16, gather3=self.gather3,
+            resid_bf16=self.resid_bf16)
 
     def search_overfetch(self, queries, k: int,
                          exclude_basenames=None) -> Tuple[np.ndarray, np.ndarray]:
@@ -462,7 +482,7 @@ def _assign_cells(vectors: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 
-def _hier_candidates(scores, k):
+def _hier_candidates(scores, k, tiles_hint=None, per_tile_hint=None):
     """Exact hierarchical candidate selection over masked scores [B, cap]
     (cap % 128 == 0): per-tile top-m of the top-T tiles by max.
 
@@ -490,8 +510,9 @@ def _hier_candidates(scores, k):
         scores = jnp.pad(scores, ((0, 0), (0, pad)),
                          constant_values=-jnp.inf)
     nt = (cap + pad) // _LANES
-    tiles = min(max(8, k), nt)
-    per_tile = max(5, k)
+    tiles = min(max(8, k) if tiles_hint is None else max(tiles_hint, k),
+                nt)
+    per_tile = max(5 if per_tile_hint is None else per_tile_hint, k)
     st = scores.reshape(b, nt, _LANES)
     tmax = jnp.max(st, axis=-1)  # [B, nt]
     _, tsel = jax.lax.top_k(tmax, tiles)  # [B, T]
@@ -518,43 +539,151 @@ def _hier_candidates(scores, k):
 
 
 def _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k, larger_better,
-                       vectors=None):
-    """Two-stage exact search: bf16 MXU scan → hierarchical candidate
-    select → fused Pallas DMA-gather + f32 dot rerank (ops/rerank.py).
+                       vectors=None, resid_bf16=None):
+    """Fast exact search over the accelerator arrays.
 
-    Exactness is CERTIFIED, not assumed: candidate scores are re-scored as
-    exact f32 dots against the stored rows, and a per-query certificate
-    checks that no non-candidate row could beat the k-th reranked score
-    even under worst-case bf16 rounding of the stage-1 scan
-    (|Δdot| ≤ 3·2⁻⁸·‖q‖·max‖x‖; we use 8× for slack). When >T·m rows tie
-    within bf16 resolution of the k-th neighbor the certificate fails and
-    an in-graph ``lax.cond`` falls back to the full-precision scan —
-    adversarial distance spectra (property-tested in
-    tests/test_index.py::test_fast_exact_near_tie_certificate) now return
-    the true top-k instead of a silently-rounded one. On benign data the
-    fallback branch never executes.
+    ``vectors`` given (production default): CERTIFIED search — one bf16
+    MXU scan, deep-tile candidate selection by the sound rounding-error
+    upper bound, exact f32 re-scoring of the top candidates via the fused
+    Pallas DMA kernel, and a per-batch soundness certificate; an in-graph
+    ``lax.cond`` falls back to a HIGHEST-precision scan when adversarial
+    near-ties defeat the bound (property-tested in
+    tests/test_index.py::test_fast_exact_near_tie_certificate). See the
+    inline design comment for the error algebra and the two measured
+    designs this replaced.
 
-    Measured v5e, ITW scale (B=256, N=25.4k, D=5376, k=5): 0.92 ms/batch →
-    ~279k QPS, vs 2.4 ms for the single HIGHEST-precision scan and ~29 ms
-    for a CPU flat scan. HBM traffic: one bf16 DB read (273 MB) + one f32
-    candidate gather (~86 MB at R=40).
+    ``vectors=None``: the legacy uncertified path (one bf16 scan +
+    T=8-tile select + fused Pallas f32 rerank) — exact on benign spectra,
+    defeatable by constructed ties; kept as the SQ8 substrate and the
+    property-test foil.
     """
-    from radad_tpu.ops.rerank import exact_dot
-
     b, d = q.shape
     cap = scan_bf16.shape[0]
     qf = q.astype(jnp.float32)
     qsq = jnp.sum(qf ** 2, -1, keepdims=True)
+
+    if vectors is None:
+        # Legacy uncertified path: single bf16 scan + hierarchical select
+        # + fused Pallas f32 rerank. Exact on data whose score gaps exceed
+        # bf16 rounding (the measured case at every production scale) but
+        # provably defeatable by adversarial near-tie spectra — kept for
+        # the SQ8 substrate and as the property-test foil.
+        from radad_tpu.ops.rerank import exact_dot
+
+        qx = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), scan_bf16,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        scores = qx if larger_better else -(qsq - 2.0 * qx + xsq[None, :])
+        scores = jnp.where(mask, -jnp.inf, scores)
+        cand_vals, cand_rows, _spill = _hier_candidates(scores, k)
+        safe = jnp.clip(cand_rows, 0, cap - 1)
+        sub_pad = gather3.shape[1]  # D padded for sub-f32 sublane alignment
+        q3 = jnp.pad(qf, ((0, 0), (0, sub_pad * _LANES - d))
+                     ).reshape(b, sub_pad, _LANES)
+        qc = exact_dot(q3, gather3, safe)
+        if larger_better:
+            exact = qc
+        else:
+            csq = jnp.take(xsq, safe.reshape(-1)).reshape(safe.shape)
+            exact = -(qsq - 2.0 * qc + csq)
+        exact = jnp.where(jnp.isfinite(cand_vals), exact, -jnp.inf)
+        top_scores, pos = jax.lax.top_k(exact, k)
+        top_idx = jnp.take_along_axis(cand_rows, pos, axis=1)
+        valid = jnp.isfinite(top_scores)
+        dists = top_scores if larger_better else -top_scores
+        idx = jnp.where(valid, top_idx, -1).astype(jnp.int32)
+        dists = jnp.where(valid, dists,
+                          jnp.inf if not larger_better else -jnp.inf)
+        return dists, idx
+
+    # --- Certified deep-tile path (production default) -------------------
+    # Design forced by measurement (round 3):
+    #   * the one-pass bf16 scan's sound worst-case score error is
+    #     c·2⁻⁸·‖q‖·‖x_row‖ (~52 distance units at ITW scale) — any row
+    #     whose bf16 score is within that margin of the k-th must be
+    #     re-scored EXACTLY for a certificate to pass (~15-25 rows on
+    #     benign ITW-scale data, spread over ~15-20 lane tiles);
+    #   * with the default T=8 tiles the max non-candidate sits at
+    #     ~rank 9 → certificate passes for only 16-18/256 queries → the
+    #     full-precision fallback runs every batch (measured 4× slower);
+    #   * a residual-corrected scan (q·x ≈ q_bf·x_bf + qr_bf·x_bf +
+    #     q_bf·r_bf, margins ~2⁻¹⁸-scale) fixes the OUTER boundary but a
+    #     rerank-free variant then needs adjacent-rank gaps > 2·margin at
+    #     the k-th/k+1-th CANDIDATE boundary — ~20% per-query failure ⇒
+    #     the batch-level all() still always fails (measured, again 4×).
+    #
+    # So: select DEEP (T=24 tiles × m=5 extractions) by the upper-bound
+    # score, exactly re-rank the top-R2=48 candidates by upper bound with
+    # the fused Pallas DMA kernel (exact scores ⇒ no inner margin at the
+    # returned boundary), and certify only the outer boundary: every row
+    # not exactly re-scored has UB ≤ max(spill_ub, 49th-candidate UB) ≈
+    # score@rank≳40 + margin, which the k-th exact score clears by ~30+
+    # units on benign data. Adversarial near-tie spectra (>R2 rows inside
+    # the margin) fail the certificate and fall back in-graph to a
+    # HIGHEST-precision scan — property-tested in
+    # tests/test_index.py::test_fast_exact_near_tie_certificate.
+    from radad_tpu.ops.rerank import exact_dot
+
+    q_bf = q.astype(jnp.bfloat16)
     qx = jax.lax.dot_general(
-        q.astype(jnp.bfloat16), scan_bf16,
+        q_bf, scan_bf16,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+    metric_fac = 2.0 if not larger_better else 1.0  # L2 doubles dot error
+    if resid_bf16 is not None:
+        # x-side error correction: q_bf·r with r = bf16(x − bf16(x)) —
+        # one extra bf16 matmul removes the stored-row rounding from the
+        # scan, halving the certificate margin (2⁻⁸ → ~2⁻⁹ scale:
+        # remaining error is q's own rounding, qr·x ≤ 2⁻⁹·‖q‖·‖x_row‖).
+        # Measured necessity: with the full 2⁻⁸ margin, heavy-tail
+        # queries (>R2 rows within 52 units of their k-th) fail the
+        # batch certificate ~every batch (254/256 certified) and the
+        # HIGHEST fallback runs always. The q-side term is NOT corrected:
+        # that would require a stacked [2B,D] scan (2× scan FLOPs) for
+        # only ~27 more units of margin.
+        qx = qx + jax.lax.dot_general(
+            q_bf, resid_bf16,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mfac = jnp.float32(metric_fac * 1.3 * 2.0 ** -9)
+    elif vectors.dtype == jnp.bfloat16:
+        # bf16 storage: stored rows ARE the truth; only q's rounding
+        mfac = jnp.float32(metric_fac * 1.3 * 2.0 ** -9)
+    else:
+        # f32 truth without a residual array (direct test calls): both
+        # roundings uncorrected
+        mfac = jnp.float32(metric_fac * 1.25 * 2.0 ** -8)
     scores = qx if larger_better else -(qsq - 2.0 * qx + xsq[None, :])
     scores = jnp.where(mask, -jnp.inf, scores)
 
-    cand_vals, cand_rows, spill = _hier_candidates(scores, k)
-    safe = jnp.clip(cand_rows, 0, cap - 1)
-    sub_pad = gather3.shape[1]  # D padded up for sub-f32 sublane alignment
+    qnorm = jnp.sqrt(jnp.maximum(jnp.sum(qf ** 2, -1), 0.0))  # [B]
+    rownorm = jnp.sqrt(jnp.maximum(xsq, 0.0))  # [cap]
+    margin = mfac * qnorm[:, None] * rownorm[None, :]  # [B, cap]
+    ub = jnp.where(mask, -jnp.inf, scores + margin)
+
+    # T=24 tiles × m=8 extractions: pushes the max non-candidate upper
+    # bound (spill_ub) past ~rank 35 even when top rows cluster in a few
+    # tiles (dataset insertion order puts similar rows in adjacent tiles).
+    # Measured at T=24/m=5: 254/256 queries certified with min gap
+    # -1.04 units — the two marginal queries made the batch-level all()
+    # fail and the fallback ran EVERY batch; deeper extraction buys the
+    # last ~35 units of headroom for ~0.05 ms.
+    cand_ub, cand_rows, spill_ub = _hier_candidates(
+        ub, k, tiles_hint=max(24, 2 * k), per_tile_hint=8)
+    r_all = cand_ub.shape[1]  # T·m candidates
+    r2 = min(r_all, max(48, 2 * k))  # exactly re-scored subset
+    sel_ub, sel = jax.lax.top_k(cand_ub, min(r2 + 1, r_all))
+    if r2 < r_all:
+        # max UB among candidates NOT exactly re-scored
+        unreranked_ub = sel_ub[:, -1]
+        sel_ub, sel = sel_ub[:, :r2], sel[:, :r2]
+    else:
+        unreranked_ub = jnp.full((b,), -jnp.inf, jnp.float32)
+    rows2 = jnp.take_along_axis(cand_rows, sel, axis=1)  # [B, r2]
+    safe = jnp.clip(rows2, 0, cap - 1)
+
+    sub_pad = gather3.shape[1]  # D padded for sub-f32 sublane alignment
     q3 = jnp.pad(qf, ((0, 0), (0, sub_pad * _LANES - d))
                  ).reshape(b, sub_pad, _LANES)
     qc = exact_dot(q3, gather3, safe)
@@ -563,32 +692,21 @@ def _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k, larger_better,
     else:
         csq = jnp.take(xsq, safe.reshape(-1)).reshape(safe.shape)
         exact = -(qsq - 2.0 * qc + csq)
-    exact = jnp.where(jnp.isfinite(cand_vals), exact, -jnp.inf)
+    exact = jnp.where(jnp.isfinite(sel_ub), exact, -jnp.inf)
 
     top_scores, pos = jax.lax.top_k(exact, k)
-    top_idx = jnp.take_along_axis(cand_rows, pos, axis=1)
+    top_idx = jnp.take_along_axis(rows2, pos, axis=1)
     valid = jnp.isfinite(top_scores)
     dists = top_scores if larger_better else -top_scores
     idx = jnp.where(valid, top_idx, -1).astype(jnp.int32)
     dists = jnp.where(valid, dists,
                       jnp.inf if not larger_better else -jnp.inf)
-    if vectors is None:
-        return dists, idx
 
-    # --- bf16-margin exactness certificate -------------------------------
-    # A non-candidate row's true (f32) score is ≤ its bf16-scan score +
-    # err, with err ≤ c·ε·‖q‖·‖x_row‖ (ε = 2⁻⁸ bf16 unit roundoff; c = 3
-    # analytic for the dot itself, L2 scores double it; 8 gives slack for
-    # f32 accumulation). If the k-th reranked score clears spill + err the
-    # fast result is provably the true top-k; otherwise rescan at full
-    # precision.
-    eps = jnp.float32(8.0 * 2.0 ** -8)
-    qnorm = jnp.sqrt(jnp.maximum(jnp.sum(qf ** 2, -1), 0.0))  # [B]
-    maxnorm = jnp.sqrt(jnp.maximum(jnp.max(xsq), 0.0))
-    margin = eps * qnorm * maxnorm  # [B]
-    kth = top_scores[:, -1]
-    certified = jnp.all((kth >= spill + margin)
-                        | ~jnp.isfinite(spill))
+    # outer certificate: the k-th EXACT score vs the best upper bound of
+    # any row that was not exactly re-scored
+    worst_other = jnp.maximum(spill_ub, unreranked_ub)
+    certified = jnp.all((top_scores[:, -1] >= worst_other)
+                        | ~jnp.isfinite(worst_other))
 
     def _keep(_):
         return dists, idx
@@ -616,7 +734,7 @@ def _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k, larger_better,
 def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
                    centroids=None, cells=None, nprobe=32, use_pallas=False,
                    exact=True, exclude_mode="batch", xsq=None,
-                   scan_bf16=None, gather3=None):
+                   scan_bf16=None, gather3=None, resid_bf16=None):
     """Fused score + mask + k-select. All shapes static; jit-cached per
     (capacity, B, k, metric).
 
@@ -670,7 +788,8 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
         if probe_mask is not None:
             mask = mask | ~probe_mask
         return _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k,
-                                  larger_better, vectors=vectors)
+                                  larger_better, vectors=vectors,
+                                  resid_bf16=resid_bf16)
 
     if use_pallas and metric != "IVF":
         # Fused kernel scan (bf16 MXU) over-fetches R candidates; the shared

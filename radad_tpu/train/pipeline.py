@@ -118,7 +118,7 @@ def grid_cover_samples(samples: int, segment_samples: int,
 
 def retrieve_on_device(tpp, vectors, labels, ids, exclude_ids, *, k, metric,
                        n_valid, exclude_mode="batch", xsq=None,
-                       scan_bf16=None, gather3=None):
+                       scan_bf16=None, gather3=None, resid_bf16=None):
     """In-graph retrieval: fused search + neighbor/label gather.
 
     Replaces the reference's overfetch-(k+10)-filter-reconstruct host loop
@@ -136,7 +136,7 @@ def retrieve_on_device(tpp, vectors, labels, ids, exclude_ids, *, k, metric,
     dists, idx = _search_device(
         q, vectors, ids, exclude_ids, k, metric=metric, n_valid=n_valid,
         use_pallas=False, exclude_mode=exclude_mode, xsq=xsq,
-        scan_bf16=scan_bf16, gather3=gather3)
+        scan_bf16=scan_bf16, gather3=gather3, resid_bf16=resid_bf16)
     safe = jnp.maximum(idx, 0).astype(jnp.int32)
     d = vectors.shape[-1]
     if gather3 is not None:
@@ -396,7 +396,7 @@ class DetectionPipeline:
             return base
         return (self.index.vectors, self.index.labels, self.index.ids,
                 self.index.norms_sq, self.index.scan_bf16,
-                self.index.gather3)
+                self.index.gather3, self.index.resid_bf16)
 
     def _retrieve(self, index_args, tpp, exclude_ids, *, k, metric, n_valid,
                   exclude_mode="batch"):
@@ -444,15 +444,16 @@ class DetectionPipeline:
                 k=k, metric="L2", n_valid=n_valid, codes3=codes3,
                 exclude_mode=exclude_mode)
         vectors, labels, ids, xsq = index_args[:4]
-        scan_bf16 = gather3 = None
-        if self.mesh is None and len(index_args) == 6:
-            scan_bf16, gather3 = index_args[4:6]
+        scan_bf16 = gather3 = resid_bf16 = None
+        if self.mesh is None and len(index_args) == 7:
+            scan_bf16, gather3, resid_bf16 = index_args[4:7]
         # (mesh + "self": any trailing IVF centroids/cells are dropped —
         # dense exact scan, see docstring.)
         return retrieve_on_device(tpp, vectors, labels, ids, exclude_ids,
                                   k=k, metric=metric, n_valid=n_valid,
                                   exclude_mode=exclude_mode, xsq=xsq,
-                                  scan_bf16=scan_bf16, gather3=gather3)
+                                  scan_bf16=scan_bf16, gather3=gather3,
+                                  resid_bf16=resid_bf16)
 
     def _predict_graph(self, metric: str, n_valid: int, k: int,
                        exclude_mode: str = "batch"):

@@ -560,7 +560,9 @@ def test_fast_exact_near_tie_certificate():
             _, i_fast = flat_mod._search_device(
                 jnp.asarray(q), xd, jnp.asarray(ids), excl, k,
                 metric="L2", n_valid=n, xsq=xsq,
-                scan_bf16=xd.astype(jnp.bfloat16), gather3=g3)
+                scan_bf16=xd.astype(jnp.bfloat16), gather3=g3,
+                resid_bf16=(xd - xd.astype(jnp.bfloat16)
+                            .astype(jnp.float32)).astype(jnp.bfloat16))
             i_fast = np.asarray(i_fast)
             for row in range(b):
                 assert set(i_fast[row]) == set(oracle[row]), (k, row)
