@@ -156,13 +156,27 @@ class FlatIndex:
         per call, not O(total). Capacity grows by doubling (padded to the
         1024-row quantum) so search shapes stay cache-stable."""
         from radad_tpu.data.manifest import file_id
+        from radad_tpu.utils.transfer import device_to_host, is_device_array
 
-        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if is_device_array(vectors):
+            # Device passthrough: embeddings computed on-device (the
+            # pipeline's DB build) are installed without a host round
+            # trip — at ITW scale that round trip costs ~60 s through
+            # this environment's relay (utils/transfer.py).
+            if vectors.dtype != jnp.float32:
+                vectors = jax.jit(lambda v: v.astype(jnp.float32))(vectors)
+            if self.metric == "COSINE":
+                vectors = jax.jit(
+                    lambda v: v / jnp.maximum(
+                        jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+                )(vectors)
+        else:
+            vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+            if self.metric == "COSINE":
+                vectors = self._normalize(vectors)
         if vectors.ndim != 2 or vectors.shape[1] != self.dimension:
             raise ValueError(
                 f"expected [N, {self.dimension}] vectors, got {vectors.shape}")
-        if self.metric == "COSINE":
-            vectors = self._normalize(vectors)
         n_new = vectors.shape[0]
         if not (len(labels) == len(paths) == n_new):
             raise ValueError("labels/paths length mismatch with vectors")
@@ -183,10 +197,10 @@ class FlatIndex:
             self._append_chunk(vectors[i:i + bs], labels[i:i + bs],
                                ids[i:i + bs])
         if self.metric == "IVF":
-            # Coarse quantizer retrains on the merged set (one host pull,
-            # same as _install's semantics).
-            self._train_ivf(
-                np.asarray(self.vectors.astype(jnp.float32))[: self.n])
+            # Coarse quantizer retrains on the merged set (one chunked
+            # host pull, same as _install's semantics).
+            self._train_ivf(device_to_host(
+                self.vectors.astype(jnp.float32))[: self.n])
 
     def _grow_to(self, new_cap: int) -> None:
         """Device-side capacity growth (no host transfer)."""
@@ -241,20 +255,30 @@ class FlatIndex:
             self.gather3 = _dus(self.gather3, rows3, start)
         self.n = need
 
-    def _install(self, vecs: np.ndarray, labels: np.ndarray, ids: np.ndarray) -> None:
+    def _install(self, vecs, labels: np.ndarray, ids: np.ndarray) -> None:
         self.n = vecs.shape[0]
         self._cap = _round_up(self.n)
         pad = self._cap - self.n
-        vecs_p = np.pad(vecs, ((0, pad), (0, 0)))
+        store_dt = jnp.bfloat16 if self.use_float16 else jnp.float32
+        from radad_tpu.utils.transfer import is_device_array
+
+        if is_device_array(vecs):
+            # Device-resident install: pad/cast in one jit, zero host traffic
+            self.vectors = jax.jit(
+                lambda v: jnp.pad(v, ((0, pad), (0, 0))).astype(store_dt)
+            )(vecs)
+        else:
+            self.vectors = jnp.asarray(
+                np.pad(vecs, ((0, pad), (0, 0))), store_dt)
         labels_p = np.pad(labels, (0, pad))
         ids_p = np.pad(ids, (0, pad), constant_values=-1)
-        self.vectors = jnp.asarray(
-            vecs_p, jnp.bfloat16 if self.use_float16 else jnp.float32)
-        # Exact f32 row norms, computed once: saves a full second DB read
-        # per L2 search (measured ~0.7 ms/batch at ITW scale).
-        self.norms_sq = jnp.asarray(
-            np.sum(np.square(np.asarray(self.vectors.astype(jnp.float32))),
-                   axis=-1).astype(np.float32))
+        # Exact f32 row norms, computed once ON DEVICE: saves a full second
+        # DB read per L2 search (measured ~0.7 ms/batch at ITW scale), and
+        # never pulls the matrix to the host (the pre-round-3 version did —
+        # a ~50 s d2h at ITW scale through this environment's relay).
+        self.norms_sq = jax.jit(
+            lambda v: jnp.sum(jnp.square(v.astype(jnp.float32)), -1)
+        )(self.vectors)
         self.labels = jnp.asarray(labels_p)
         self.ids = jnp.asarray(ids_p)
         # Fast-exact search accelerator arrays (TPU + f32 + lane-aligned D):
@@ -430,9 +454,12 @@ class FlatIndex:
     def save(self, directory: str) -> None:
         """Array-native persistence (replaces faiss.write_index + pickle,
         vector_database.py:190-216)."""
+        from radad_tpu.utils.transfer import device_to_host
+
         os.makedirs(directory, exist_ok=True)
         arrays = dict(
-            vectors=np.asarray(self.vectors.astype(jnp.float32))[: self.n],
+            vectors=device_to_host(
+                self.vectors.astype(jnp.float32))[: self.n],
             labels=np.asarray(self.labels)[: self.n],
             ids=np.asarray(self.ids)[: self.n],
         )

@@ -328,8 +328,18 @@ class DetectionPipeline:
         self._train_step = None  # built lazily (needs index capacity)
         self._eval_step = None
         self._rng = jax.random.PRNGKey(config.random_seed)
-        # frozen-encoder embedding cache: manifest fingerprint -> np [N, D]
-        self._embedding_cache: Dict[Tuple, np.ndarray] = {}
+        # frozen-encoder embedding cache: manifest fingerprint -> [N, D].
+        # Device-resident (jnp) when no mesh is configured and the matrix
+        # fits comfortably in HBM — epoch batches are then assembled by an
+        # on-device gather instead of re-uploading ~B·D f32 per batch
+        # (through this environment's TPU relay that upload dominates the
+        # epoch: ~13 s of a 17 s ITW-scale epoch). Host (np) otherwise.
+        self._embedding_cache: Dict[Tuple, object] = {}
+        self._embedding_cache_host: Dict[Tuple, np.ndarray] = {}
+        self._take_rows = jax.jit(
+            lambda e, i, v: jnp.take(e, i, axis=0)
+            * v[:, None].astype(e.dtype))
+        self._save_thread = None  # async index persistence (join in train)
         # jitted end-to-end predict programs (embed→retrieve+fallback→
         # model), cached per (metric, n_valid, k, exclude_mode)
         self._predict_cache: Dict[Tuple, object] = {}
@@ -529,22 +539,35 @@ class DetectionPipeline:
         decode + encoder forward (pipeline.py:794-796)."""
         cfg = self.config
         if cfg.cache_embeddings:
-            emb = self.get_embeddings(manifest)
+            from radad_tpu.utils.transfer import is_device_array
+
+            emb = self._embeddings_any(manifest)
+            on_device = is_device_array(emb)
             n = len(manifest)
             order = np.arange(n)
             if shuffle:
                 np.random.default_rng(seed).shuffle(order)
             for i in range(0, n, batch_size):
                 chunk = order[i:i + batch_size]
-                pad = batch_size - len(chunk)
-                tpp = np.zeros((batch_size, emb.shape[1]), np.float32)
-                tpp[:len(chunk)] = emb[chunk]
                 labels = np.zeros((batch_size,), np.float32)
                 labels[:len(chunk)] = manifest.labels[chunk]
                 ids = np.full((batch_size,), -1, np.int32)
                 ids[:len(chunk)] = manifest.ids[chunk]
                 valid = np.zeros((batch_size,), bool)
                 valid[:len(chunk)] = True
+                if on_device:
+                    # Device-resident cache: gather the batch rows on
+                    # device (uploads only the [B] index vector) and zero
+                    # the pad rows — bitwise the same batch the host path
+                    # assembles, without the ~B·D f32 upload per batch.
+                    idx = np.zeros((batch_size,), np.int32)
+                    idx[:len(chunk)] = chunk
+                    tpp = self._take_rows(emb, jnp.asarray(idx),
+                                          jnp.asarray(valid))
+                    yield (tpp,) + self._shard_batch(labels, ids, valid)
+                    continue
+                tpp = np.zeros((batch_size, emb.shape[1]), np.float32)
+                tpp[:len(chunk)] = emb[chunk]
                 yield self._shard_batch(tpp, labels, ids, valid)
         else:
             for batch in iterate_batches(
@@ -560,12 +583,31 @@ class DetectionPipeline:
 
     # ------------------------------------------------------------------
     def get_embeddings(self, manifest: Manifest) -> np.ndarray:
+        """TPP embeddings for every clip of a manifest, in manifest order,
+        as a host array (public API; the pipeline internals use
+        :meth:`_embeddings_any`, which keeps the matrix on device when it
+        can — see ``_embedding_cache``)."""
+        from radad_tpu.utils.transfer import device_to_host, is_device_array
+
+        emb = self._embeddings_any(manifest)
+        if not is_device_array(emb):
+            return emb
+        key = (hash(manifest.paths), len(manifest))
+        host = self._embedding_cache_host.get(key)
+        if host is None:
+            host = device_to_host(emb)
+            if self.config.cache_embeddings:
+                self._embedding_cache_host[key] = host
+        return host
+
+    def _embeddings_any(self, manifest: Manifest):
         """TPP embeddings for every clip of a manifest, in manifest order.
 
         The encoder is frozen, so these are constants of the run; they are
         computed once and cached (config.cache_embeddings). The reference
         recomputes them every epoch for every batch — its dominant cost
-        (SURVEY.md §3 hot loops)."""
+        (SURVEY.md §3 hot loops). Returns a DEVICE array when no mesh is
+        configured and the matrix fits the HBM budget; np otherwise."""
         cfg = self.config
         key = (hash(manifest.paths), len(manifest))
         if cfg.cache_embeddings and key in self._embedding_cache:
@@ -609,25 +651,51 @@ class DetectionPipeline:
             chunks.append(self._embed(
                 self.encoder.params, audio_dev, lengths_dev))
             valids.append(batch.valid)
-        emb = np.asarray(jnp.concatenate(chunks, axis=0))  # single sync
-        emb = emb[np.concatenate(valids)]
+        emb_dev = jnp.concatenate(chunks, axis=0)
+        # drop pad rows ON DEVICE (valid positions are host-known statics)
+        emb_dev = jnp.take(emb_dev,
+                           jnp.asarray(np.flatnonzero(
+                               np.concatenate(valids)), np.int32), axis=0)
+        # Keep the matrix on device when there is no mesh to shard batches
+        # over and it fits the HBM budget; otherwise pull it to the host
+        # (chunked — ~2x the relay's single-transfer d2h throughput).
+        dev_ok = (self.mesh is None
+                  and emb_dev.nbytes <= 4 * 1024 ** 3)
+        if dev_ok:
+            emb = emb_dev
+        else:
+            from radad_tpu.utils.transfer import device_to_host
+
+            emb = device_to_host(emb_dev)
         if cfg.cache_embeddings:
             self._embedding_cache[key] = emb
         return emb
 
     def build_vector_database(self, train_manifest: Manifest,
-                              save: bool = True) -> None:
+                              save: bool = True,
+                              async_save: bool = False) -> None:
         """Embed the training set and install it as the reference DB
         (pipeline.py:416-447)."""
         logger.info("Building vector database from %d training clips",
                     len(train_manifest))
         t0 = time.time()
-        vectors = self.get_embeddings(train_manifest)
+        self._join_save()
+        vectors = self._embeddings_any(train_manifest)
         speakers = [{"speaker_id": s} for s in train_manifest.speakers]
         self.index.add(vectors, train_manifest.labels.tolist(),
                        list(train_manifest.paths), metadata=speakers,
                        ids=train_manifest.ids.tolist())
-        if save:
+        if save and async_save:
+            # Persist in the background: the d2h pull + npz write of an
+            # ITW-scale DB costs ~30 s through this environment's relay
+            # and has no consumer before train() ends (train() joins).
+            import threading
+
+            self._save_thread = threading.Thread(
+                target=self.index.save, args=(self.config.vector_db_path,),
+                daemon=True)
+            self._save_thread.start()
+        elif save:
             self.index.save(self.config.vector_db_path)
         logger.info("Vector DB built: %d vectors in %.1fs",
                     self.index.ntotal, time.time() - t0)
@@ -690,13 +758,19 @@ class DetectionPipeline:
         return self._train_step, self._eval_step
 
     # ------------------------------------------------------------------
+    def _join_save(self):
+        """Wait for an in-flight async index save (no-op otherwise)."""
+        if self._save_thread is not None:
+            self._save_thread.join()
+            self._save_thread = None
+
     def train(self, train_manifest: Manifest,
               val_manifest: Optional[Manifest] = None) -> Dict:
         cfg = self.config
         if val_manifest is not None and cfg.prevent_data_leakage:
             validate_no_leakage(train_manifest, val_manifest)
         if self.index.ntotal == 0:
-            self.build_vector_database(train_manifest)
+            self.build_vector_database(train_manifest, async_save=True)
         self._ensure_model_state()
         train_step, _ = self._steps()
 
@@ -822,6 +896,7 @@ class DetectionPipeline:
         self.wandb.log_artifact(
             os.path.join(root, "metrics.csv"), "metrics", "metrics")
         self.wandb.finish()
+        self._join_save()  # async DB persistence must outlive train()
         return self.writer.rows[-1] if self.writer.rows else {}
 
     # ------------------------------------------------------------------
