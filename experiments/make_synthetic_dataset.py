@@ -97,7 +97,8 @@ def _lowpass(wave, sr, cutoff_hz):
 
 
 def synth_clip_hard(rng: np.random.Generator, f0: float, dur: float,
-                    sr: int, spoof: bool, family: str) -> np.ndarray:
+                    sr: int, spoof: bool, family: str,
+                    strength: float = 1.0) -> np.ndarray:
     t = np.arange(int(sr * dur)) / sr
     vibrato = 1.0 + 0.01 * np.sin(2 * np.pi * 5.0 * t + rng.uniform(0, 6.28))
     wave = np.zeros_like(t)
@@ -116,8 +117,11 @@ def synth_clip_hard(rng: np.random.Generator, f0: float, dur: float,
             wave = _lowpass(wave, sr, rng.uniform(3000, 5000))
     else:
         # half-normal strength: ~12% of spoofs below 0.35x nominal —
-        # near the noise floor, deliberately hard or impossible
-        s = abs(rng.normal(0.0, 1.0)) * 0.7 + 0.15
+        # near the noise floor, deliberately hard or impossible.
+        # ``strength`` scales the whole distribution: the knob that places
+        # the task in a sensitive EER band for a given encoder (calibrated
+        # with experiments/probe_hardness.py's linear-probe proxy).
+        s = (abs(rng.normal(0.0, 1.0)) * 0.7 + 0.15) * strength
         if family == "inharmonic":
             wave += (0.10 * s) * np.sin(2 * np.pi * (2.41 * f0) * t
                                         + rng.uniform(0, 6.28))
@@ -170,6 +174,11 @@ def main():
     p.add_argument("--families", default=",".join(HARD_FAMILIES),
                    help="comma list of spoof attack families (hard mode); "
                         "use disjoint sets for train vs eval dirs")
+    p.add_argument("--hard_strength", type=float, default=1.0,
+                   help="hard-mode spoof artifact strength multiplier; "
+                        "calibrate with probe_hardness.py so the task "
+                        "lands in a sensitive EER band (neither chance "
+                        "nor saturated) for the target encoder")
     p.add_argument("--speaker_offset", type=int, default=0,
                    help="first speaker id (hard mode); offset eval dirs "
                         "for speaker-disjoint evaluation")
@@ -201,7 +210,8 @@ def main():
         if args.hard:
             family = families[i % len(families)]
             wave = synth_clip_hard(rng, f0, dur, args.sr,
-                                   label == "spoof", family)
+                                   label == "spoof", family,
+                                   strength=args.hard_strength)
         else:
             wave = synth_clip(rng, f0, dur, args.sr, label == "spoof")
         fname = f"clip_{i:05d}.wav"
