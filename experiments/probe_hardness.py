@@ -68,7 +68,7 @@ def probe(strength: float, n: int = 360, seed: int = 5) -> dict:
     fpr, tpr, _ = roc_curve(s, yte)
     eer, _ = compute_eer(s, yte)
     return {"strength": strength, "auc": float(auc_fn(fpr, tpr)),
-            "eer": float(eer) * 100.0}
+            "eer": float(eer)}  # compute_eer returns percent
 
 
 def main():
