@@ -110,7 +110,7 @@ def main():
         vals, _ = _search_device(qs, xd, idsd, excld, k, metric="L2",
                                  n_valid=n, xsq=xsq, scan_bf16=x_bf,
                                  gather3=x3, resid_bf16=x_r)
-        return qs + 0.0 * jnp.sum(jnp.where(jnp.isfinite(vals), vals, 0.0))
+        return qs + 1e-30 * jnp.sum(jnp.where(jnp.isfinite(vals), vals, 0.0))
 
     dt = chain_time(step, qd, n=16,
                     consts=(xd, idsd, excld, xsq, x_bf, x3, x_r))

@@ -117,7 +117,7 @@ def main():
             vals, idx = search_fn(qs, *cs)
             return qs + 0.0 * (jnp.sum(jnp.where(jnp.isfinite(vals), vals,
                                                  0.0))
-                               + 0.0 * jnp.sum(idx.astype(jnp.float32)))
+                               + 1e-30 * jnp.sum(idx.astype(jnp.float32)))
 
         dt = chain_time(step, qd, n=args.reps, consts=consts)
         qps = b / dt

@@ -59,7 +59,9 @@ def main():
         qx = jax.lax.dot_general(q.astype(jnp.bfloat16), xb,
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        return q + 0.0 * jnp.sum(qx[:, :d])
+        # max over ALL columns: jnp.sum would be rewritten to dot(q, sum(B))
+        # and a [:, :d] slice lets XLA narrow the GEMM to 5376 rows
+        return q + 1e-30 * jnp.max(qx)
     t("scan GEMM (bf16, K=D)", scan1, qd, consts=(x_bf,))
 
     # 2. scan + residual (two GEMMs, the production form)
@@ -69,7 +71,9 @@ def main():
                                  preferred_element_type=jnp.float32)
         qx = qx + jax.lax.dot_general(qb, r, (((1,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-        return q + 0.0 * jnp.sum(qx[:, :d])
+        # max over ALL columns: jnp.sum would be rewritten to dot(q, sum(B))
+        # and a [:, :d] slice lets XLA narrow the GEMM to 5376 rows
+        return q + 1e-30 * jnp.max(qx)
     t("scan + resid (2 GEMMs)", scan2, qd, consts=(x_bf, resid))
 
     # 3. stacked single GEMM, K=2D
@@ -78,7 +82,9 @@ def main():
         q2 = jnp.concatenate([qb, qb], axis=1)
         qx = jax.lax.dot_general(q2, st, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        return q + 0.0 * jnp.sum(qx[:, :d])
+        # max over ALL columns: jnp.sum would be rewritten to dot(q, sum(B))
+        # and a [:, :d] slice lets XLA narrow the GEMM to 5376 rows
+        return q + 1e-30 * jnp.max(qx)
     t("stacked scan (1 GEMM, K=2D)", scan_stacked, qd, consts=(stacked,))
 
     # 4. + ub + hier select (T=24, m=8)
@@ -97,7 +103,7 @@ def main():
         ub = jnp.where(mask_row[None, :], -jnp.inf, scores + margin)
         cu, cr, spill = F._hier_candidates(ub, k, tiles_hint=24,
                                            per_tile_hint=8)
-        return q + 0.0 * (jnp.sum(cu) + jnp.sum(spill))
+        return q + 1e-30 * (jnp.sum(cu) + jnp.sum(spill))
     t("+ ub + hier select", through_select, qd, consts=(x_bf, resid, xsq))
 
     # 5. full certified path (production entry, with cond)
@@ -105,7 +111,7 @@ def main():
         v, _ = F._search_device(q, x, i, e, k, metric="L2", n_valid=n,
                                 xsq=xs, scan_bf16=xb, gather3=g,
                                 resid_bf16=r)
-        return q + 0.0 * jnp.sum(jnp.where(jnp.isfinite(v), v, 0.0))
+        return q + 1e-30 * jnp.sum(jnp.where(jnp.isfinite(v), v, 0.0))
     t("FULL certified (with cond)", full, qd,
       consts=(xd, x_bf, g3, resid, xsq, ids, excl))
 
@@ -115,7 +121,7 @@ def main():
         mask = mask_row[None, :]
         dists, idx = F._search_fast_exact(
             q, xb, g, xs, mask, k, False, vectors=None, resid_bf16=None)
-        return q + 0.0 * jnp.sum(jnp.where(jnp.isfinite(dists), dists, 0.0))
+        return q + 1e-30 * jnp.sum(jnp.where(jnp.isfinite(dists), dists, 0.0))
     t("legacy uncertified (T=8, no cond)", core_nocond, qd,
       consts=(x_bf, g3, resid, xsq))
 
@@ -126,7 +132,7 @@ def main():
                                    ).reshape(b, sub, 128))(qd)
     def rr(q3_, g, rw):
         out = exact_dot(q3_, g, rw)
-        return q3_ + 0.0 * jnp.sum(out)
+        return q3_ + 1e-30 * jnp.sum(out)
     t("rerank exact_dot (48 rows/query)", rr, q3, consts=(g3, rows))
 
     for r2 in (32,):

@@ -544,6 +544,9 @@ def _hier_candidates(scores, k, tiles_hint=None, per_tile_hint=None):
     tmax = jnp.max(st, axis=-1)  # [B, nt]
     _, tsel = jax.lax.top_k(tmax, tiles)  # [B, T]
     cand = jnp.take_along_axis(st, tsel[:, :, None], axis=1)  # [B, T, 128]
+    # m iterative max-extract rounds. Measured alternative (round 3):
+    # per-tile lax.top_k(cand, m+1) in one op is ~2x SLOWER on v5e — the
+    # 128-lane sort costs more than m cheap max/where passes.
     col = jax.lax.broadcasted_iota(jnp.int32, (b, tiles, _LANES), 2)
     big = jnp.int32(_LANES)
     vals, rows = [], []
@@ -566,7 +569,7 @@ def _hier_candidates(scores, k, tiles_hint=None, per_tile_hint=None):
 
 
 def _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k, larger_better,
-                       vectors=None, resid_bf16=None):
+                       vectors=None, resid_bf16=None, rerank_depth=None):
     """Fast exact search over the accelerator arrays.
 
     ``vectors`` given (production default): CERTIFIED search — one bf16
@@ -652,34 +655,50 @@ def _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k, larger_better,
     # tests/test_index.py::test_fast_exact_near_tie_certificate.
     from radad_tpu.ops.rerank import exact_dot
 
-    q_bf = q.astype(jnp.bfloat16)
-    qx = jax.lax.dot_general(
-        q_bf, scan_bf16,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    # Two-sided rounding correction (round 3, v2). Split the query into
+    # hi+lo bf16 halves (q ≈ q_hi + q_lo exactly to 2⁻¹⁸ relative) and
+    # scan with THREE corrected terms:
+    #     q·x ≈ q_hi·x_bf + q_lo·x_bf + q_hi·r,   r = bf16(x − x_bf)
+    # The two q-side terms come from ONE stacked [2B, D] GEMM, so x_bf is
+    # still read once; HBM traffic is unchanged vs the one-sided version
+    # (x_bf + r reads) and only the MXU work grows by ~50 % (~+0.3 ms at
+    # ITW scale). Residual error: q_r2·x + q·x_r2 + q_lo·r + f32
+    # accumulation ≤ ~1.6·2⁻¹⁷·‖q‖·‖x_row‖ → margins of ~0.3-0.6 score
+    # units at ITW scale.
+    #
+    # Measured necessity (real TPP embeddings, not gaussians): embedding
+    # rows cluster so tightly that the 5th→193rd exact-score gap can be
+    # ~6 units while the ONE-SIDED margin (2⁻⁹ scale) is ~50-89 units —
+    # the batch certificate failed for ~82 % of real queries and the
+    # HIGHEST-precision fallback ran every production batch. With
+    # two-sided margins (max 0.35 measured) vs the real 5th→33rd gap
+    # (min 13.1), the certificate holds with ≥37× headroom.
+    # (experiments/profile_retrieval.py; NOTES.md "near-tie saga, v2".)
     metric_fac = 2.0 if not larger_better else 1.0  # L2 doubles dot error
-    if resid_bf16 is not None:
-        # x-side error correction: q_bf·r with r = bf16(x − bf16(x)) —
-        # one extra bf16 matmul removes the stored-row rounding from the
-        # scan, halving the certificate margin (2⁻⁸ → ~2⁻⁹ scale:
-        # remaining error is q's own rounding, qr·x ≤ 2⁻⁹·‖q‖·‖x_row‖).
-        # Measured necessity: with the full 2⁻⁸ margin, heavy-tail
-        # queries (>R2 rows within 52 units of their k-th) fail the
-        # batch certificate ~every batch (254/256 certified) and the
-        # HIGHEST fallback runs always. The q-side term is NOT corrected:
-        # that would require a stacked [2B,D] scan (2× scan FLOPs) for
-        # only ~27 more units of margin.
-        qx = qx + jax.lax.dot_general(
-            q_bf, resid_bf16,
+    q_hi = q.astype(jnp.bfloat16)
+    if resid_bf16 is not None or vectors.dtype == jnp.bfloat16:
+        q_lo = (qf - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        q2 = jnp.concatenate([q_hi, q_lo], axis=0)  # [2B, D]
+        out2 = jax.lax.dot_general(
+            q2, scan_bf16,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        mfac = jnp.float32(metric_fac * 1.3 * 2.0 ** -9)
-    elif vectors.dtype == jnp.bfloat16:
-        # bf16 storage: stored rows ARE the truth; only q's rounding
-        mfac = jnp.float32(metric_fac * 1.3 * 2.0 ** -9)
+        qx = out2[:b] + out2[b:]
+        if resid_bf16 is not None:
+            qx = qx + jax.lax.dot_general(
+                q_hi, resid_bf16,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        # bf16 storage (resid None): stored rows ARE the truth — the
+        # q-split alone leaves only ~2⁻¹⁸-scale error.
+        mfac = jnp.float32(metric_fac * 1.3 * 2.0 ** -16)
     else:
         # f32 truth without a residual array (direct test calls): both
         # roundings uncorrected
+        qx = jax.lax.dot_general(
+            q_hi, scan_bf16,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         mfac = jnp.float32(metric_fac * 1.25 * 2.0 ** -8)
     scores = qx if larger_better else -(qsq - 2.0 * qx + xsq[None, :])
     scores = jnp.where(mask, -jnp.inf, scores)
@@ -699,7 +718,14 @@ def _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k, larger_better,
     cand_ub, cand_rows, spill_ub = _hier_candidates(
         ub, k, tiles_hint=max(24, 2 * k), per_tile_hint=8)
     r_all = cand_ub.shape[1]  # T·m candidates
-    r2 = min(r_all, max(48, 2 * k))  # exactly re-scored subset
+    # Exactly re-scored subset. Depth 32 is the default: the rerank
+    # kernel's query-block size is 256//R, so R=32 packs 8 queries per
+    # grid step (0.12 ms) where R=48 packs 5 (0.50 ms) — and the benign
+    # certificate holds with ~30 units of headroom at the rank-33
+    # boundary (see experiments/profile_retrieval.py; adversarial
+    # spectra still fall back in-graph).
+    r2 = min(r_all, max(32, 2 * k) if rerank_depth is None
+             else max(rerank_depth, k))
     sel_ub, sel = jax.lax.top_k(cand_ub, min(r2 + 1, r_all))
     if r2 < r_all:
         # max UB among candidates NOT exactly re-scored
@@ -757,11 +783,13 @@ def _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k, larger_better,
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "n_valid", "nprobe",
-                                   "use_pallas", "exact", "exclude_mode"))
+                                   "use_pallas", "exact", "exclude_mode",
+                                   "rerank_depth"))
 def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
                    centroids=None, cells=None, nprobe=32, use_pallas=False,
                    exact=True, exclude_mode="batch", xsq=None,
-                   scan_bf16=None, gather3=None, resid_bf16=None):
+                   scan_bf16=None, gather3=None, resid_bf16=None,
+                   rerank_depth=None):
     """Fused score + mask + k-select. All shapes static; jit-cached per
     (capacity, B, k, metric).
 
@@ -816,7 +844,8 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
             mask = mask | ~probe_mask
         return _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k,
                                   larger_better, vectors=vectors,
-                                  resid_bf16=resid_bf16)
+                                  resid_bf16=resid_bf16,
+                                  rerank_depth=rerank_depth)
 
     if use_pallas and metric != "IVF":
         # Fused kernel scan (bf16 MXU) over-fetches R candidates; the shared
