@@ -540,7 +540,16 @@ def _hier_candidates(scores, k, tiles_hint=None, per_tile_hint=None):
     tiles = min(max(8, k) if tiles_hint is None else max(tiles_hint, k),
                 nt)
     per_tile = max(5 if per_tile_hint is None else per_tile_hint, k)
-    st = scores.reshape(b, nt, _LANES)
+    # STRIDED tiles: tile t = rows {t, t+nt, t+2nt, ...} instead of 128
+    # consecutive rows. Manifest order inserts near-duplicate rows (same
+    # speaker / attack family) contiguously; with consecutive tiles an
+    # entire near-tie cluster lands in ONE tile, the m per-tile
+    # extractions spill true neighbors, and the exactness certificate
+    # falls back to the full-precision scan every batch (2x perf cliff —
+    # tests/test_index.py::test_certificate_holds_on_clustered_embeddings).
+    # Striding spreads contiguous clusters across tiles by construction,
+    # statelessly; the one [B, cap] transpose costs ~0.1 ms at ITW scale.
+    st = jnp.swapaxes(scores.reshape(b, _LANES, nt), 1, 2)  # [B, nt, 128]
     tmax = jnp.max(st, axis=-1)  # [B, nt]
     _, tsel = jax.lax.top_k(tmax, tiles)  # [B, T]
     cand = jnp.take_along_axis(st, tsel[:, :, None], axis=1)  # [B, T, 128]
@@ -555,7 +564,8 @@ def _hier_candidates(scores, k, tiles_hint=None, per_tile_hint=None):
         at_best = cand >= best[..., None]
         bidx = jnp.min(jnp.where(at_best, col, big), axis=-1)
         vals.append(best)
-        rows.append(tsel * _LANES + jnp.minimum(bidx, _LANES - 1))
+        # strided layout: score row index = lane * nt + tile
+        rows.append(jnp.minimum(bidx, _LANES - 1) * nt + tsel)
         cand = jnp.where(col == bidx[..., None], -jnp.inf, cand)
     # Max score NOT in the candidate set: the best value still left in the
     # selected tiles after the m extraction rounds, or the best unselected
@@ -569,7 +579,8 @@ def _hier_candidates(scores, k, tiles_hint=None, per_tile_hint=None):
 
 
 def _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k, larger_better,
-                       vectors=None, resid_bf16=None, rerank_depth=None):
+                       vectors=None, resid_bf16=None, rerank_depth=None,
+                       debug_certified=False):
     """Fast exact search over the accelerator arrays.
 
     ``vectors`` given (production default): CERTIFIED search — one bf16
@@ -760,6 +771,13 @@ def _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k, larger_better,
     worst_other = jnp.maximum(spill_ub, unreranked_ub)
     certified = jnp.all((top_scores[:, -1] >= worst_other)
                         | ~jnp.isfinite(worst_other))
+
+    if debug_certified:
+        # Test hook: also return the certificate verdict so tests can pin
+        # that benign/clustered data CERTIFIES (the v1 one-sided margin
+        # silently fell back on every real-embedding batch — a perf bug
+        # invisible to recall assertions).
+        return dists, idx, certified
 
     def _keep(_):
         return dists, idx

@@ -543,9 +543,18 @@ def test_fast_exact_near_tie_certificate():
             x = np.zeros((cap, d), np.float32)
             x[:n] = rng.standard_normal((n, d)).astype(np.float32) * 3.0
             base = q[0] + 0.5 * rng.standard_normal(d).astype(np.float32)
-            for i in range(400):  # 400 near-tied rows >> T*m = 40 at k=5
+            nt = cap // 128  # strided-tile count
+            # near-tied rows packed into ONE strided tile (rows nt apart,
+            # tile 0) — the layout the strided select cannot spread — with
+            # true neighbors at the HIGH-lane end so the low-lane
+            # tie-break cannot accidentally pick them. Fresh random
+            # directions per row keep adjacent exact gaps ~3e-3 (f32
+            # fallback-resolvable) while the one-sided bf16 scan noise
+            # (~0.15 at these norms) scrambles them. 101 tied rows >>
+            # per-tile extraction depth for every k tested.
+            for j in range(101):
                 u = rng.standard_normal(d).astype(np.float32)
-                x[i] = base + 3e-3 * i * u / np.linalg.norm(u)
+                x[j * nt] = base + 3e-3 * (101 - j) * u / np.linalg.norm(u)
             ids = np.full((cap,), -1, np.int32)
             ids[:n] = np.arange(n)
             excl = jnp.full((b,), -2, jnp.int32)
@@ -637,3 +646,123 @@ def test_ivf_kmeans_iters_configurable(rng):
     assert idx.kmeans_iters == 3
     # unset nlist → reference default 4096, clamped to the 200 train rows
     assert idx.nlist == 200
+
+
+def test_certificate_holds_on_clustered_embeddings():
+    """Regression for the round-3 silent-fallback bug: REAL TPP embeddings
+    cluster tightly (hundreds of rows within a few score units, row norms
+    ~100) and manifest order inserts cluster members CONTIGUOUSLY. With
+    CONSECUTIVE lane tiles an entire near-tie cluster packs into one tile,
+    the per-tile extractions spill true neighbors, and the exactness
+    certificate falls back to the full-precision scan every batch (a 2x
+    perf cliff invisible to recall assertions). The STRIDED tile layout in
+    _hier_candidates must certify contiguous clusters; a stride-ALIGNED
+    adversarial cluster (rows nt apart) must still fail the certificate
+    (pinning that striding, not luck, is load-bearing — and that the
+    fallback guard still exists)."""
+    import jax.numpy as jnp
+
+    from radad_tpu.index import flat as flat_mod
+    from radad_tpu.ops.gather import to_gather_layout
+    from radad_tpu.ops import rerank as rerank_mod
+
+    rng = np.random.default_rng(11)
+    n, d, b, k = 900, 256, 64, 5
+    cap = 1024
+    nt = cap // 128  # strided-tile count at this capacity
+
+    def run(x):
+        q = x[:b].copy()  # queries = rows: training self-retrieval case
+        xd = jnp.asarray(np.pad(x, ((0, cap - n), (0, 0))))
+        xsq = jnp.sum(jnp.square(xd), -1)
+        scan_bf = xd.astype(jnp.bfloat16)
+        resid = (xd - scan_bf.astype(jnp.float32)).astype(jnp.bfloat16)
+        mask = (jnp.arange(cap) >= n)[None, :] | jnp.zeros((b, cap), bool)
+        dists, got, certified = flat_mod._search_fast_exact(
+            jnp.asarray(q), scan_bf, to_gather_layout(xd), xsq, mask, k,
+            False, vectors=xd, resid_bf16=resid, debug_certified=True)
+        d2 = ((q.astype(np.float64)[:, None, :]
+               - x[None, :, :].astype(np.float64)) ** 2).sum(-1)
+        oracle = np.argsort(d2, axis=1)[:, :k]
+        want = np.sort(d2[np.arange(b)[:, None], oracle], axis=1)
+        return bool(certified), np.sort(np.asarray(dists), axis=1), want
+
+    orig = rerank_mod.exact_dot
+    rerank_mod.exact_dot = lambda q3, x3, idx: orig(q3, x3, idx,
+                                                    interpret=True)
+    try:
+        # (a) contiguous tight clusters (manifest order): must certify
+        centers = rng.standard_normal((30, d)).astype(np.float32) * 8.0
+        x = np.concatenate([
+            c + 0.05 * rng.standard_normal((30, d)).astype(np.float32)
+            for c in centers])
+        cert, gotd, want = run(x)
+        assert cert, (
+            "contiguous clustered batch failed the exactness certificate "
+            "- production would silently run the full-precision fallback "
+            "every batch")
+        # top-k distances match the f64 oracle to f32-cancellation
+        # precision (|q|^2 ~ 16k -> ~0.006 absolute)
+        np.testing.assert_allclose(gotd, want, atol=0.02)
+
+        # (b) stride-aligned cluster: 60 near-tied rows spaced nt apart
+        # land in ONE strided tile -> certificate must fail (and the
+        # production cond would fall back, keeping exactness)
+        x2 = rng.standard_normal((n, d)).astype(np.float32) * 8.0
+        base = x2[0].copy()
+        u = rng.standard_normal(d).astype(np.float32)
+        for j in range(60):
+            x2[j * nt] = base + 0.01 * (60 - j) * u / np.linalg.norm(u)
+        cert2, _, _ = run(x2)
+        assert not cert2, (
+            "stride-aligned cluster no longer defeats the certificate; "
+            "the negative control needs strengthening")
+    finally:
+        rerank_mod.exact_dot = orig
+
+
+def test_add_device_array_matches_host_add(rng):
+    """FlatIndex.add with a DEVICE array (the pipeline's no-host-round-trip
+    DB build) must produce the same index as the np path: same search
+    results, same persisted arrays."""
+    import jax.numpy as jnp
+
+    from radad_tpu.index.flat import FlatIndex
+
+    n, d, k = 300, 256, 5
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    labels = (np.arange(n) % 2).astype(np.float32).tolist()
+    paths = [f"clip_{i}.wav" for i in range(n)]
+    q = rng.standard_normal((8, d)).astype(np.float32)
+
+    a = FlatIndex(d)
+    a.add(x, labels, paths)
+    b = FlatIndex(d)
+    b.add(jnp.asarray(x), labels, paths)
+
+    da, ia = a.search(q, k)
+    db_, ib = b.search(q, k)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    np.testing.assert_allclose(np.asarray(da), np.asarray(db_), rtol=0,
+                               atol=0)
+    np.testing.assert_array_equal(np.asarray(a.vectors),
+                                  np.asarray(b.vectors))
+    np.testing.assert_array_equal(np.asarray(a.norms_sq),
+                                  np.asarray(b.norms_sq))
+
+
+def test_add_device_array_cosine_normalizes(rng):
+    """COSINE metric must L2-normalize device-array adds exactly like the
+    host path does."""
+    import jax.numpy as jnp
+
+    from radad_tpu.index.flat import FlatIndex
+
+    n, d = 64, 128
+    x = (rng.standard_normal((n, d)) * 5.0).astype(np.float32)
+    a = FlatIndex(d, "COSINE")
+    a.add(x, [0.0] * n, [f"p{i}" for i in range(n)])
+    b = FlatIndex(d, "COSINE")
+    b.add(jnp.asarray(x), [0.0] * n, [f"p{i}" for i in range(n)])
+    np.testing.assert_allclose(np.asarray(a.vectors)[:n],
+                               np.asarray(b.vectors)[:n], atol=1e-6)

@@ -394,3 +394,48 @@ def test_ablate_retrieval_flag(synthetic_dataset, tiny_encoder, tmp_path):
     # ablated training still runs end-to-end
     off.train(splits["train"], splits["val"])
     assert np.isfinite(off.writer.rows[-1]["train_loss"])
+
+
+def test_device_cache_batches_match_host_assembly(trained):
+    """The device-resident embedding cache assembles epoch batches with an
+    on-device gather (no per-batch host upload). The batches must be
+    bitwise what the host path assembled: rows in shuffle order, pad rows
+    zeroed, labels/ids/valid identical."""
+    pipe, splits, _, _ = trained
+    man = splits["train"]
+    emb = pipe.get_embeddings(man)  # host view of the cached matrix
+    bs, seed = 8, 123
+    got = list(pipe._query_batches(man, bs, shuffle=True, seed=seed))
+
+    order = np.arange(len(man))
+    np.random.default_rng(seed).shuffle(order)
+    for bi, (tpp, labels, ids, valid) in enumerate(got):
+        chunk = order[bi * bs:(bi + 1) * bs]
+        want = np.zeros((bs, emb.shape[1]), np.float32)
+        want[:len(chunk)] = emb[chunk]
+        np.testing.assert_array_equal(np.asarray(tpp), want)
+        wl = np.zeros((bs,), np.float32)
+        wl[:len(chunk)] = man.labels[chunk]
+        np.testing.assert_array_equal(np.asarray(labels), wl)
+        wi = np.full((bs,), -1, np.int32)
+        wi[:len(chunk)] = man.ids[chunk]
+        np.testing.assert_array_equal(np.asarray(ids), wi)
+        assert np.asarray(valid).sum() == len(chunk)
+    assert (bi + 1) == -(-len(man) // bs)
+
+
+def test_async_save_persists_before_train_returns(trained):
+    """train() joins the background DB-save thread: the persisted index
+    must be complete and loadable immediately after train() returns."""
+    import jax.numpy as jnp
+
+    from radad_tpu.index.flat import FlatIndex
+
+    pipe, splits, _, _ = trained
+    assert pipe._save_thread is None  # joined
+    loaded = FlatIndex.load(pipe.config.vector_db_path)
+    assert loaded.ntotal == pipe.index.ntotal
+    np.testing.assert_allclose(
+        np.asarray(loaded.vectors.astype(jnp.float32))[: loaded.n],
+        np.asarray(pipe.index.vectors.astype(jnp.float32))[: pipe.index.n],
+        atol=0)
