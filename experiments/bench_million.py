@@ -110,9 +110,12 @@ def main():
     excl = jnp.full((b,), -2, jnp.int32)
     results = []
 
-    def bench_mode(name, search_fn, qd, consts):
+    def bench_mode(name, search_fn, qd, consts, qsmall=None):
         # large arrays ride in via consts — closure capture would bake
         # them into the HLO as constants (relay remote-compile rejects)
+        if qsmall is None:
+            qsmall = q_small
+
         def step(qs, *cs):
             vals, idx = search_fn(qs, *cs)
             return qs + 0.0 * (jnp.sum(jnp.where(jnp.isfinite(vals), vals,
@@ -122,7 +125,7 @@ def main():
         dt = chain_time(step, qd, n=args.reps, consts=consts)
         qps = b / dt
         _, idx = jax.jit(search_fn)(jnp.asarray(
-            np.pad(q_small, ((0, b - len(q_small)), (0, 0)))), *consts)
+            np.pad(qsmall, ((0, b - len(qsmall)), (0, 0)))), *consts)
         rec = recall_at_k(np.asarray(idx)[:len(q_small)], oracle_i)
         row = {"metric": f"1M-row {name} top-{k} retrieval", "rows": n,
                "dim": d, "value": round(qps, 1), "unit": "queries/s",
@@ -134,34 +137,48 @@ def main():
               f"recall@{k}={rec:.4f}", file=sys.stderr)
 
     if not args.skip_bf16:
-        # bf16 storage mode: stored rows ARE bf16 (use_float16 contract)
-        print("# uploading bf16 DB (10.7 GB) via on-device cast",
-              file=sys.stderr)
-        x_bf = jnp.zeros((cap, d), jnp.bfloat16)
-        chunk = 100_000
-        for lo in range(0, n, chunk):
-            x_bf = jax.jit(
-                lambda buf, c, i: jax.lax.dynamic_update_slice(
-                    buf, c.astype(jnp.bfloat16), (i, 0)),
-                donate_argnums=(0,))(x_bf, jnp.asarray(x[lo:lo + chunk]),
-                                     lo)
-        xsq = jax.jit(lambda v: jnp.sum(
-            jnp.square(v.astype(jnp.float32)), -1))(x_bf)
+        # bf16 storage mode: stored rows ARE bf16 (use_float16 contract).
+        # At 1M rows the scan copy (10.7 GB) PLUS a separate padded
+        # gather-layout copy (12.3 GB; bf16 DMA slices need the sublane
+        # dim padded to a multiple of 8) exceed HBM — so build ONLY the
+        # gather-layout array and use its flat reshape as the scan
+        # matrix: the pad columns are zero, and the query is zero-padded
+        # to match, so scores are unchanged. 12.3 GB total.
         sub = d // 128
         sub_pad = ((sub + 7) // 8) * 8
-        g3 = jax.jit(lambda v: jnp.pad(
-            v, ((0, 0), (0, (sub_pad - sub) * 128))).reshape(
-                cap, sub_pad, 128))(x_bf)
+        d_pad = sub_pad * 128
+        print(f"# uploading bf16 DB in gather layout "
+              f"({cap * d_pad * 2 / 1e9:.1f} GB)", file=sys.stderr)
+        g3 = jnp.zeros((cap, sub_pad, 128), jnp.bfloat16)
+        chunk = 50_000
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            g3 = jax.jit(
+                lambda buf, c, i: jax.lax.dynamic_update_slice(
+                    buf,
+                    jnp.pad(c.astype(jnp.bfloat16),
+                            ((0, 0), (0, d_pad - d))
+                            ).reshape(c.shape[0], sub_pad, 128),
+                    (i, 0, 0)),
+                donate_argnums=(0,))(g3, jnp.asarray(x[lo:hi]), lo)
+        # NB: reshape to the scan view only INSIDE jit (XLA aliases it);
+        # materializing it eagerly would allocate a second 12.3 GB buffer
+        xsq = jax.jit(lambda g: jnp.sum(
+            jnp.square(g.astype(jnp.float32)), (1, 2)))(g3)
+        q_full_p = np.pad(q_full, ((0, 0), (0, d_pad - d)))
+        q_small_p = np.pad(q_small, ((0, 0), (0, d_pad - d)))
 
-        def search_bf16(qs, x_bf, xsq, g3, ids, excl):
+        def search_bf16(qs, xsq, g3, ids, excl):
+            flat = g3.reshape(g3.shape[0], -1)
             return _search_device(
-                qs, x_bf, ids, excl, k, metric="L2", n_valid=n, xsq=xsq,
-                scan_bf16=x_bf, gather3=g3)
+                qs, flat, ids, excl, k, metric="L2", n_valid=n, xsq=xsq,
+                scan_bf16=flat, gather3=g3)
 
-        bench_mode("bf16-storage flat", search_bf16, jnp.asarray(q_full),
-                   (x_bf, xsq, g3, ids, excl))
+        bench_mode("bf16-storage flat", search_bf16,
+                   jnp.asarray(q_full_p), (xsq, g3, ids, excl),
+                   qsmall=q_small_p)
         if args.skip_ivf:
-            del x_bf, g3, xsq
+            del g3, xsq
         else:
             # IVF nprobe sweep over the bf16 storage: recall vs exhaustive
             from radad_tpu.index.ivf import kmeans
@@ -171,6 +188,9 @@ def main():
                   "sample)", file=sys.stderr)
             train = jnp.asarray(x[:50_000])
             cents, _ = kmeans(train, 4096, iters=25, seed=0)
+            # pad centroids to the gather-layout width so the in-graph
+            # query->cell assignment sees matching dims
+            cents = jnp.pad(cents, ((0, 0), (0, d_pad - d)))
             # chunked assignment: the full [N, nlist] distance matrix is
             # 16 GB at 1M rows — assign 100k rows at a time
             assign_j = jax.jit(_assign_cells)
@@ -181,17 +201,19 @@ def main():
                     assign_j(jnp.asarray(x[lo:hi]), cents))
             cells = jnp.asarray(cells_np)
             for nprobe in (16, 64, 256, 1024):
-                def search_ivf(qs, x_bf, xsq, g3, ids, excl, cents, cells,
+                def search_ivf(qs, xsq, g3, ids, excl, cents, cells,
                                nprobe=nprobe):
+                    flat = g3.reshape(g3.shape[0], -1)
                     return _search_device(
-                        qs, x_bf, ids, excl, k, metric="IVF", n_valid=n,
+                        qs, flat, ids, excl, k, metric="IVF", n_valid=n,
                         centroids=cents, cells=cells, nprobe=nprobe,
-                        xsq=xsq, scan_bf16=x_bf, gather3=g3)
+                        xsq=xsq, scan_bf16=flat, gather3=g3)
 
                 bench_mode(f"bf16 IVF nprobe={nprobe}", search_ivf,
-                           jnp.asarray(q_full),
-                           (x_bf, xsq, g3, ids, excl, cents, cells))
-            del x_bf, g3, xsq, cents, cells
+                           jnp.asarray(q_full_p),
+                           (xsq, g3, ids, excl, cents, cells),
+                           qsmall=q_small_p)
+            del g3, xsq, cents, cells
 
     if not args.skip_sq8:
         print("# quantizing SQ8 DB (5.4 GB codes)", file=sys.stderr)
