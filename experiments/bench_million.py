@@ -68,7 +68,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--rows", type=int, default=1_000_000)
     p.add_argument("--d", type=int, default=5376)
-    p.add_argument("--batch", type=int, default=256)
+    # 128 (not the ITW-scale 256): at N=1e6 the [2B, N] f32 stacked-GEMM
+    # output plus the ub/select temps must fit beside the ~11 GB DB on a
+    # 16 GB chip; B=128 leaves ~2.5 GB of headroom. QPS is per-query, so
+    # the comparison stays honest (scan FLOPs scale linearly in B).
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--k", type=int, default=5)
     p.add_argument("--oracle_queries", type=int, default=64)
     p.add_argument("--reps", type=int, default=8)
@@ -137,48 +141,36 @@ def main():
               f"recall@{k}={rec:.4f}", file=sys.stderr)
 
     if not args.skip_bf16:
-        # bf16 storage mode: stored rows ARE bf16 (use_float16 contract).
-        # At 1M rows the scan copy (10.7 GB) PLUS a separate padded
-        # gather-layout copy (12.3 GB; bf16 DMA slices need the sublane
-        # dim padded to a multiple of 8) exceed HBM — so build ONLY the
-        # gather-layout array and use its flat reshape as the scan
-        # matrix: the pad columns are zero, and the query is zero-padded
-        # to match, so scores are unchanged. 12.3 GB total.
-        sub = d // 128
-        sub_pad = ((sub + 7) // 8) * 8
-        d_pad = sub_pad * 128
-        print(f"# uploading bf16 DB in gather layout "
-              f"({cap * d_pad * 2 / 1e9:.1f} GB)", file=sys.stderr)
-        g3 = jnp.zeros((cap, sub_pad, 128), jnp.bfloat16)
+        # bf16 storage mode, SINGLE-BUFFER (FlatIndex(single_buffer=True)
+        # semantics): stored rows ARE bf16 (use_float16 contract), ONE
+        # [N, D] device buffer (10.7 GB) serves scan and rerank — the
+        # certified path reranks via XLA take + HIGHEST dot when
+        # gather3=None (index/flat.py). A second gather-layout copy (or a
+        # jit-side reshape, which materializes an 11.45 GB relayout temp —
+        # measured OOM) does not fit beside it on a 16 GB chip.
+        # Host-side bf16 cast halves the h2d bytes through the relay.
+        print(f"# uploading bf16 DB single-buffer "
+              f"({cap * d * 2 / 1e9:.1f} GB)", file=sys.stderr)
+        xbf = jnp.zeros((cap, d), jnp.bfloat16)
         chunk = 50_000
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
-            g3 = jax.jit(
-                lambda buf, c, i: jax.lax.dynamic_update_slice(
-                    buf,
-                    jnp.pad(c.astype(jnp.bfloat16),
-                            ((0, 0), (0, d_pad - d))
-                            ).reshape(c.shape[0], sub_pad, 128),
-                    (i, 0, 0)),
-                donate_argnums=(0,))(g3, jnp.asarray(x[lo:hi]), lo)
-        # NB: reshape to the scan view only INSIDE jit (XLA aliases it);
-        # materializing it eagerly would allocate a second 12.3 GB buffer
-        xsq = jax.jit(lambda g: jnp.sum(
-            jnp.square(g.astype(jnp.float32)), (1, 2)))(g3)
-        q_full_p = np.pad(q_full, ((0, 0), (0, d_pad - d)))
-        q_small_p = np.pad(q_small, ((0, 0), (0, d_pad - d)))
+            xbf = jax.jit(
+                lambda buf, c, i: jax.lax.dynamic_update_slice(buf, c, (i, 0)),
+                donate_argnums=(0,))(
+                xbf, jnp.asarray(x[lo:hi].astype(jnp.bfloat16)), lo)
+        xsq = jax.jit(lambda v: jnp.sum(
+            jnp.square(v.astype(jnp.float32)), -1))(xbf)
 
-        def search_bf16(qs, xsq, g3, ids, excl):
-            flat = g3.reshape(g3.shape[0], -1)
+        def search_bf16(qs, xsq, xbf, ids, excl):
             return _search_device(
-                qs, flat, ids, excl, k, metric="L2", n_valid=n, xsq=xsq,
-                scan_bf16=flat, gather3=g3)
+                qs, xbf, ids, excl, k, metric="L2", n_valid=n, xsq=xsq,
+                scan_bf16=xbf, gather3=None)
 
-        bench_mode("bf16-storage flat", search_bf16,
-                   jnp.asarray(q_full_p), (xsq, g3, ids, excl),
-                   qsmall=q_small_p)
+        bench_mode("bf16-storage flat (single-buffer)", search_bf16,
+                   jnp.asarray(q_full), (xsq, xbf, ids, excl))
         if args.skip_ivf:
-            del g3, xsq
+            del xbf, xsq
         else:
             # IVF nprobe sweep over the bf16 storage: recall vs exhaustive
             from radad_tpu.index.ivf import kmeans
@@ -188,9 +180,6 @@ def main():
                   "sample)", file=sys.stderr)
             train = jnp.asarray(x[:50_000])
             cents, _ = kmeans(train, 4096, iters=25, seed=0)
-            # pad centroids to the gather-layout width so the in-graph
-            # query->cell assignment sees matching dims
-            cents = jnp.pad(cents, ((0, 0), (0, d_pad - d)))
             # chunked assignment: the full [N, nlist] distance matrix is
             # 16 GB at 1M rows — assign 100k rows at a time
             assign_j = jax.jit(_assign_cells)
@@ -201,19 +190,17 @@ def main():
                     assign_j(jnp.asarray(x[lo:hi]), cents))
             cells = jnp.asarray(cells_np)
             for nprobe in (16, 64, 256, 1024):
-                def search_ivf(qs, xsq, g3, ids, excl, cents, cells,
+                def search_ivf(qs, xsq, xbf, ids, excl, cents, cells,
                                nprobe=nprobe):
-                    flat = g3.reshape(g3.shape[0], -1)
                     return _search_device(
-                        qs, flat, ids, excl, k, metric="IVF", n_valid=n,
+                        qs, xbf, ids, excl, k, metric="IVF", n_valid=n,
                         centroids=cents, cells=cells, nprobe=nprobe,
-                        xsq=xsq, scan_bf16=flat, gather3=g3)
+                        xsq=xsq, scan_bf16=xbf, gather3=None)
 
                 bench_mode(f"bf16 IVF nprobe={nprobe}", search_ivf,
-                           jnp.asarray(q_full_p),
-                           (xsq, g3, ids, excl, cents, cells),
-                           qsmall=q_small_p)
-            del g3, xsq, cents, cells
+                           jnp.asarray(q_full),
+                           (xsq, xbf, ids, excl, cents, cells))
+            del xbf, xsq, cents, cells
 
     if not args.skip_sq8:
         print("# quantizing SQ8 DB (5.4 GB codes)", file=sys.stderr)

@@ -86,6 +86,7 @@ class FlatIndex:
                  kmeans_iters: int = 25,
                  use_pallas: Optional[bool] = None,
                  use_float16: bool = False,
+                 single_buffer: bool = False,
                  add_batch_size: int = 10000,
                  build_accel: bool = True):
         metric = metric.upper()
@@ -98,6 +99,16 @@ class FlatIndex:
         # HBM traffic for the scan at the cost of bf16-rounded distances
         # (neighbor order is exact w.r.t. the *stored* rounded vectors).
         self.use_float16 = bool(use_float16)
+        # Capacity mode (bf16 storage only): keep ONE device buffer — skip
+        # the gather-layout rerank copy, whose separate tiling XLA cannot
+        # alias with the scan matrix (a jit-side reshape materializes a
+        # full relayout: 11.45 GB HLO temp at N=1e6 D=5376 bf16, OOM on a
+        # 16 GB v5e). Search stays certified-exact w.r.t. the stored rows;
+        # the rerank runs as an XLA take + HIGHEST dot (see
+        # _search_fast_exact). This is how a million-row ITW-dimension DB
+        # (10.7 GB bf16) fits one chip — FAISS-GPU's useFloat16 regime
+        # (/root/reference/vector_database.py:78-84).
+        self.single_buffer = bool(single_buffer) and self.use_float16
         self.nlist = int(nlist)
         self.nprobe = int(nprobe)
         # Lloyd iterations for IVF centroid training; default 25 = FAISS's
@@ -216,7 +227,8 @@ class FlatIndex:
         self.ids = pad0(self.ids, fill=-1)
         if self.scan_bf16 is not None:
             self.scan_bf16 = pad0(self.scan_bf16)
-            self.gather3 = pad0(self.gather3)
+            if self.gather3 is not None:
+                self.gather3 = pad0(self.gather3)
             if self.resid_bf16 is not None:
                 self.resid_bf16 = pad0(self.resid_bf16)
         if self.cells is not None:
@@ -248,11 +260,12 @@ class FlatIndex:
                      ).astype(jnp.bfloat16), start)
             else:
                 self.scan_bf16 = self.vectors
-            sub_pad = self.gather3.shape[1]
-            rows3 = jnp.pad(
-                dev, ((0, 0), (0, sub_pad * _LANES - self.dimension))
-            ).reshape(m, sub_pad, _LANES)
-            self.gather3 = _dus(self.gather3, rows3, start)
+            if self.gather3 is not None:
+                sub_pad = self.gather3.shape[1]
+                rows3 = jnp.pad(
+                    dev, ((0, 0), (0, sub_pad * _LANES - self.dimension))
+                ).reshape(m, sub_pad, _LANES)
+                self.gather3 = _dus(self.gather3, rows3, start)
         self.n = need
 
     def _install(self, vecs, labels: np.ndarray, ids: np.ndarray) -> None:
@@ -308,12 +321,14 @@ class FlatIndex:
                     lambda v, s: (v - s.astype(jnp.float32)
                                   ).astype(jnp.bfloat16))(
                     self.vectors, self.scan_bf16)
-            sub = self.dimension // _LANES
-            sub_pad = sub if not self.use_float16 else ((sub + 7) // 8) * 8
-            self.gather3 = jax.jit(
-                lambda v: jnp.pad(
-                    v, ((0, 0), (0, (sub_pad - sub) * _LANES))
-                ).reshape(v.shape[0], sub_pad, _LANES))(self.vectors)
+            if not self.single_buffer:
+                sub = self.dimension // _LANES
+                sub_pad = (sub if not self.use_float16
+                           else ((sub + 7) // 8) * 8)
+                self.gather3 = jax.jit(
+                    lambda v: jnp.pad(
+                        v, ((0, 0), (0, (sub_pad - sub) * _LANES))
+                    ).reshape(v.shape[0], sub_pad, _LANES))(self.vectors)
         if self.metric == "IVF" and self.n:
             self._train_ivf(vecs)
 
@@ -747,10 +762,26 @@ def _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k, larger_better,
     rows2 = jnp.take_along_axis(cand_rows, sel, axis=1)  # [B, r2]
     safe = jnp.clip(rows2, 0, cap - 1)
 
-    sub_pad = gather3.shape[1]  # D padded for sub-f32 sublane alignment
-    q3 = jnp.pad(qf, ((0, 0), (0, sub_pad * _LANES - d))
-                 ).reshape(b, sub_pad, _LANES)
-    qc = exact_dot(q3, gather3, safe)
+    if gather3 is not None:
+        sub_pad = gather3.shape[1]  # D padded for sub-f32 sublane alignment
+        q3 = jnp.pad(qf, ((0, 0), (0, sub_pad * _LANES - d))
+                     ).reshape(b, sub_pad, _LANES)
+        qc = exact_dot(q3, gather3, safe)
+    else:
+        # Single-buffer capacity mode (FlatIndex(single_buffer=True)):
+        # no gather-layout copy exists — a second 3-D buffer would double
+        # index HBM, and reshaping the 2-D scan matrix inside jit
+        # materializes a full relayout copy (measured: an 11.45 GB HLO
+        # temp at N=1e6 D=5376 bf16 → OOM on a 16 GB v5e). Re-score the
+        # candidates with a plain XLA take + HIGHEST dot on the stored
+        # rows instead: same exact-w.r.t.-stored contract, ~0.3 ms extra
+        # at rerank depth 32 — noise against the O(N) scan at the scales
+        # where this mode matters.
+        cv = jnp.take(vectors, safe.reshape(-1), axis=0
+                      ).astype(jnp.float32).reshape(safe.shape + (d,))
+        qc = jax.lax.dot_general(
+            qf, cv, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST)
     if larger_better:
         exact = qc
     else:
@@ -847,8 +878,7 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
         probe_mask = jnp.any(
             cells[None, :, None] == probe_cells[:, None, :], axis=-1)  # [B, cap]
 
-    if (exact and scan_bf16 is not None and gather3 is not None
-            and xsq is not None
+    if (exact and scan_bf16 is not None and xsq is not None
             and (not use_pallas or metric == "IVF")):
         # Fast-exact path: bf16 scan + fused Pallas rerank (TPU only; the
         # accelerator arrays exist only when _accel_eligible said so).

@@ -766,3 +766,95 @@ def test_add_device_array_cosine_normalizes(rng):
     b.add(jnp.asarray(x), [0.0] * n, [f"p{i}" for i in range(n)])
     np.testing.assert_allclose(np.asarray(a.vectors)[:n],
                                np.asarray(b.vectors)[:n], atol=1e-6)
+
+
+def test_single_buffer_capacity_mode(rng):
+    """Single-buffer capacity mode (round 3): with ``gather3=None`` the
+    certified search reranks via an XLA take + HIGHEST dot on the stored
+    rows instead of the Pallas DMA kernel. This is how a million-row
+    bf16 DB (10.7 GB at D=5376) fits one 16 GB chip: the gather-layout
+    copy's tiling cannot alias the 2-D scan matrix, and a jit-side
+    reshape materializes a full relayout (measured 11.45 GB HLO temp →
+    OOM). Results must stay exact w.r.t. the STORED rows for both
+    storage dtypes, and ``FlatIndex(single_buffer=True)`` must skip the
+    gather3 build."""
+    import jax.numpy as jnp
+
+    from radad_tpu.index import flat as flat_mod
+
+    n, d, b, k = 1500, 256, 16, 5
+    cap = flat_mod._round_up(n)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    xp = np.zeros((cap, d), np.float32)
+    xp[:n] = x
+    ids = np.where(np.arange(cap) < n, np.arange(cap), -1).astype(np.int32)
+    excl = jnp.asarray((np.arange(b) * 7 % n).astype(np.int32))
+
+    def oracle(stored):
+        sc = -((q ** 2).sum(-1, keepdims=True) - 2 * q @ stored[:n].T
+               + (stored[:n] ** 2).sum(-1)[None])
+        ex = np.isin(np.arange(n), np.asarray(excl))
+        sc[:, ex] = -np.inf
+        return np.argsort(-sc, axis=1)[:, :k]
+
+    # bf16 storage, single buffer: vectors == scan matrix, no gather3
+    xbf = jnp.asarray(xp).astype(jnp.bfloat16)
+    _, i_bf = flat_mod._search_device(
+        jnp.asarray(q), xbf, jnp.asarray(ids), excl, k, metric="L2",
+        n_valid=n, xsq=jnp.sum(jnp.square(xbf.astype(jnp.float32)), -1),
+        scan_bf16=xbf, gather3=None)
+    want = oracle(np.asarray(xbf.astype(jnp.float32)))
+    for r in range(b):
+        assert set(np.asarray(i_bf)[r]) == set(want[r]), r
+
+    # f32 storage with residual correction but no gather3 (take-rerank)
+    xf = jnp.asarray(xp)
+    sbf = xf.astype(jnp.bfloat16)
+    _, i_f32 = flat_mod._search_device(
+        jnp.asarray(q), xf, jnp.asarray(ids), excl, k, metric="L2",
+        n_valid=n, xsq=jnp.sum(jnp.square(xf), -1), scan_bf16=sbf,
+        gather3=None,
+        resid_bf16=(xf - sbf.astype(jnp.float32)).astype(jnp.bfloat16))
+    want32 = oracle(x)
+    for r in range(b):
+        assert set(np.asarray(i_f32)[r]) == set(want32[r]), r
+
+    # constructor wiring: flag only meaningful with bf16 storage
+    assert FlatIndex(d, "L2", use_float16=True, single_buffer=True
+                     ).single_buffer
+    assert not FlatIndex(d, "L2", single_buffer=True).single_buffer
+
+
+def test_single_buffer_near_tie_fallback(rng):
+    """The exactness certificate and in-graph full-precision fallback must
+    survive ``gather3=None``: the adversarial near-tie spectrum (one
+    strided tile packed with >T·m ties) still yields recall 1.0 vs the f64
+    oracle through the take-rerank code path."""
+    import jax.numpy as jnp
+
+    from radad_tpu.index import flat as flat_mod
+
+    n, d, b, k, cap = 900, 256, 4, 5, 1024
+    nt = cap // 128
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    x = np.zeros((cap, d), np.float32)
+    x[:n] = rng.standard_normal((n, d)).astype(np.float32) * 3.0
+    base = q[0] + 0.5 * rng.standard_normal(d).astype(np.float32)
+    for j in range(101):
+        u = rng.standard_normal(d).astype(np.float32)
+        x[j * nt] = base + 3e-3 * (101 - j) * u / np.linalg.norm(u)
+    ids = np.where(np.arange(cap) < n, np.arange(cap), -1).astype(np.int32)
+    excl = jnp.full((b,), -2, jnp.int32)
+    xd = jnp.asarray(x)
+    sbf = xd.astype(jnp.bfloat16)
+    _, i_got = flat_mod._search_device(
+        jnp.asarray(q), xd, jnp.asarray(ids), excl, k, metric="L2",
+        n_valid=n, xsq=jnp.sum(jnp.square(xd), -1), scan_bf16=sbf,
+        gather3=None,
+        resid_bf16=(xd - sbf.astype(jnp.float32)).astype(jnp.bfloat16))
+    d2 = ((q.astype(np.float64)[:, None, :]
+           - x[None, :n, :].astype(np.float64)) ** 2).sum(-1)
+    oracle = np.argsort(d2, axis=1)[:, :k]
+    for r in range(b):
+        assert set(np.asarray(i_got)[r]) == set(oracle[r]), r
