@@ -568,9 +568,31 @@ def _hier_candidates(scores, k, tiles_hint=None, per_tile_hint=None):
     tmax = jnp.max(st, axis=-1)  # [B, nt]
     _, tsel = jax.lax.top_k(tmax, tiles)  # [B, T]
     cand = jnp.take_along_axis(st, tsel[:, :, None], axis=1)  # [B, T, 128]
-    # m iterative max-extract rounds. Measured alternative (round 3):
-    # per-tile lax.top_k(cand, m+1) in one op is ~2x SLOWER on v5e — the
-    # 128-lane sort costs more than m cheap max/where passes.
+    # Max over UNSELECTED tiles (one component of the spill bound).
+    unsel_max = jnp.max(
+        jax.vmap(lambda t, s: t.at[s].set(-jnp.inf))(tmax, tsel), axis=-1)
+
+    # m iterative max-extract rounds. Measured alternatives (round 3):
+    # per-tile lax.top_k(cand, m+1) in one op is ~2x SLOWER on v5e (the
+    # 128-lane sort costs more than m cheap max/where passes), and the m
+    # sequentially-dependent XLA rounds cost 0.24 ms of the 0.39 ms select
+    # stage at ITW scale (~40 small dispatches XLA cannot fuse across).
+    # On TPU a single Pallas dispatch runs all rounds over the
+    # VMEM-resident slab with bit-identical semantics
+    # (ops/topk.extract_topm; parity pinned by
+    # tests/test_index.py::test_extract_topm_kernel_parity).
+    if jax.default_backend() == "tpu":
+        from radad_tpu.ops.topk import extract_topm
+
+        vals3, lanes3, leftover = extract_topm(cand, per_tile)
+        # strided layout: score row index = lane * nt + tile
+        rows3 = lanes3 * nt + tsel[:, :, None]  # [B, T, m]
+        spill = jnp.maximum(jnp.max(leftover, axis=-1), unsel_max)
+        return (jnp.swapaxes(vals3, 1, 2).reshape(b, tiles * per_tile),
+                jnp.swapaxes(rows3, 1, 2).reshape(
+                    b, tiles * per_tile).astype(jnp.int32),
+                spill)
+
     col = jax.lax.broadcasted_iota(jnp.int32, (b, tiles, _LANES), 2)
     big = jnp.int32(_LANES)
     vals, rows = [], []
@@ -585,8 +607,6 @@ def _hier_candidates(scores, k, tiles_hint=None, per_tile_hint=None):
     # Max score NOT in the candidate set: the best value still left in the
     # selected tiles after the m extraction rounds, or the best unselected
     # tile's max.
-    unsel_max = jnp.max(
-        jax.vmap(lambda t, s: t.at[s].set(-jnp.inf))(tmax, tsel), axis=-1)
     spill = jnp.maximum(jnp.max(cand, axis=(-2, -1)), unsel_max)  # [B]
     return (jnp.concatenate(vals, axis=-1),
             jnp.concatenate(rows, axis=-1).astype(jnp.int32),

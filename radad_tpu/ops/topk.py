@@ -253,3 +253,81 @@ def flat_topk_reference(q, vectors, k, *, metric="L2", n_valid=None,
     v, i = jax.lax.top_k(scores, k)
     i = jnp.where(jnp.isfinite(v), i, -1)
     return v, i.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Per-tile top-m extraction kernel for the deep-tile candidate select.
+#
+# The certified search's _hier_candidates (index/flat.py) runs m (=8)
+# iterative max/where extraction rounds over the gathered [B, T, 128] tile
+# slab. The rounds are sequentially dependent, so XLA cannot fuse across
+# them: measured on v5e at ITW scale they cost 0.24 ms of the select
+# stage's 0.39 ms (~40 small dispatches over a 3 MB slab — dispatch-bound,
+# not FLOP-bound; see NOTES.md "select-stage decomposition"). This kernel
+# runs all m rounds over the VMEM-resident slab in ONE dispatch with
+# identical semantics (first-lane tie-break, -inf handling, per-tile
+# leftover max for the exactness certificate's spill bound).
+
+
+def _extract_kernel(cand_ref, vals_ref, lanes_ref, left_ref, *, m: int):
+    cand = cand_ref[:]  # [bb, T, L] f32
+    bb, t, lanes_n = cand.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bb, t, lanes_n), 2)
+    vals = jnp.full((bb, t, lanes_n), NEG_INF, jnp.float32)
+    lanes = jnp.full((bb, t, lanes_n), -1, jnp.int32)
+    big = jnp.int32(lanes_n)
+    for j in range(m):
+        best = jnp.max(cand, axis=2)  # [bb, T]
+        at_best = cand >= best[..., None]
+        bidx = jnp.min(jnp.where(at_best, lane, big), axis=2)  # [bb, T]
+        sel = jnp.minimum(bidx, lanes_n - 1)
+        vals = jnp.where(lane == j, best[..., None], vals)
+        lanes = jnp.where(lane == j, sel[..., None], lanes)
+        cand = jnp.where(lane == bidx[..., None], NEG_INF, cand)
+    vals_ref[:] = vals
+    lanes_ref[:] = lanes
+    left_ref[:] = jnp.max(cand, axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def extract_topm(cand: jnp.ndarray, m: int, *, interpret: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-tile top-m of ``cand [B, T, L]`` (L = 128 lanes), one dispatch.
+
+    Returns ``(vals [B, T, m] f32, lanes [B, T, m] i32, leftover [B, T]
+    f32)`` where ``leftover`` is the per-tile max AFTER the m extractions
+    (the in-tile component of the certificate's spill bound). Tie-break:
+    lowest lane, exactly like the XLA loop it replaces. All-(-inf) tiles
+    yield val=-inf, lane 0 — masked downstream by isfinite, identical to
+    the XLA semantics.
+    """
+    b, t, lanes_n = cand.shape
+    assert m <= lanes_n, (m, lanes_n)
+    # block B so in + 2 outs + leftover stay well inside VMEM
+    bb = max(8, min(128, b))
+    b_pad = _round_up(b, bb)
+    if b_pad != b:
+        cand = jnp.concatenate(
+            [cand, jnp.full((b_pad - b, t, lanes_n), NEG_INF, cand.dtype)])
+
+    vals, lanes, left = pl.pallas_call(
+        functools.partial(_extract_kernel, m=m),
+        grid=(b_pad // bb,),
+        in_specs=[pl.BlockSpec((bb, t, lanes_n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((bb, t, lanes_n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, t, lanes_n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, t), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, t, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, t, lanes_n), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, t), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cand.astype(jnp.float32))
+    return vals[:b, :, :m], lanes[:b, :, :m], left[:b]
