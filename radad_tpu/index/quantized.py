@@ -202,30 +202,79 @@ class QuantizedIndex:
                 np.linalg.norm(vectors, axis=-1, keepdims=True), 1e-12)
         if ids is None:
             ids = [file_id(p) for p in paths]
-        if self.n:
-            old = np.asarray(self.codes)[: self.n].astype(np.float32) \
-                * np.asarray(self.scales)[: self.n, None]
-            vectors = np.concatenate([old, vectors], axis=0)
-            labels = np.concatenate(
-                [np.asarray(self.labels)[: self.n],
-                 np.asarray(labels, np.float32)])
-            ids = np.concatenate(
-                [np.asarray(self.ids)[: self.n], np.asarray(ids, np.int32)])
         codes, scales = quantize_rows(vectors)
         self.paths.extend(list(paths))
         self.metadata.extend(list(metadata) if metadata is not None
                              else [{}] * len(paths))
-        self._install_codes(codes, scales, np.asarray(labels, np.float32),
-                            np.asarray(ids, np.int32))
+        labels = np.asarray(labels, np.float32)
+        ids = np.asarray(ids, np.int32)
+        if self.n == 0:
+            self._install_codes(codes, scales, labels, ids)
+        else:
+            self._append_codes(codes, scales, labels, ids)
+
+    def _append_codes(self, codes: np.ndarray, scales: np.ndarray,
+                      labels: np.ndarray, ids: np.ndarray) -> None:
+        """Incremental device-side append, O(new rows) per call.
+
+        Per-row symmetric quantization is independent across rows and
+        idempotent — the row max element always rounds to exactly ±127,
+        so re-quantizing a dequantized row reproduces the same (codes,
+        scale). Existing rows are therefore final: appends upload only the
+        new chunk and update the device buffers in place (FlatIndex.add's
+        donation pattern; vector_database.py:108-151's chunked adds). The
+        pre-round-3 path dequantized + re-quantized the WHOLE index per
+        chunk — O(total²) work and ~4 full f32 copies of the DB in host
+        RAM (OOM-killed at 1M rows × 5376 on a 125 GB host)."""
+        from radad_tpu.index.flat import _dus
+
+        m = codes.shape[0]
+        need = self.n + m
+        cap = self.codes.shape[0]
+        if need > cap:
+            pad = _round_up(max(need, 2 * cap)) - cap
+
+            def pad0(a, fill=0):
+                widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+                return jnp.pad(a, widths, constant_values=fill)
+
+            self.codes = pad0(self.codes)
+            self.scales = pad0(self.scales)
+            self.norm_sq = pad0(self.norm_sq)
+            self.labels = pad0(self.labels)
+            self.ids = pad0(self.ids, fill=-1)
+            if self.codes3 is not None:
+                self.codes3 = pad0(self.codes3)
+        deq = codes.astype(np.float32) * scales[:, None]
+        norm_sq = np.einsum("md,md->m", deq, deq).astype(np.float32)
+        start = jnp.int32(self.n)
+        dev = jnp.asarray(codes)
+        self.codes = _dus(self.codes, dev, start)
+        self.scales = _dus(self.scales, jnp.asarray(scales), start)
+        self.norm_sq = _dus(self.norm_sq, jnp.asarray(norm_sq), start)
+        self.labels = _dus(self.labels, jnp.asarray(labels), start)
+        self.ids = _dus(self.ids, jnp.asarray(ids), start)
+        if self.codes3 is not None:
+            sub_pad = self.codes3.shape[1]
+            rows3 = jnp.pad(
+                dev, ((0, 0), (0, sub_pad * 128 - self.dimension))
+            ).reshape(m, sub_pad, 128)
+            self.codes3 = _dus(self.codes3, rows3, start)
+        self.n = need
 
     def _install_codes(self, codes: np.ndarray, scales: np.ndarray,
                        labels: np.ndarray, ids: np.ndarray) -> None:
         """Install int8 codes directly (no re-quantization — a
         quantize(dequantize(·)) round trip can drift codes whose row max
         rounded below 127; VERDICT r1 weak #6)."""
-        deq = codes.astype(np.float32) * scales[:, None]
-        norm_sq = np.sum(deq * deq, axis=-1).astype(np.float32)
+        # Chunked norm computation: a single-shot dequant of 1M × 5376 rows
+        # is 2 × 21.5 GB of f32 temporaries on the host.
         n = codes.shape[0]
+        norm_sq = np.empty(n, np.float32)
+        for lo in range(0, n, 100_000):
+            hi = min(lo + 100_000, n)
+            deq = codes[lo:hi].astype(np.float32) * scales[lo:hi, None]
+            norm_sq[lo:hi] = np.einsum("md,md->m", deq, deq)
         cap = _round_up(n)
         pad = cap - n
         self.codes = jnp.asarray(np.pad(codes, ((0, pad), (0, 0))))

@@ -236,6 +236,43 @@ def test_quantized_save_load(rng, tmp_path):
     np.testing.assert_array_equal(i1, i2)
 
 
+def test_quantized_chunked_add_equals_oneshot(rng):
+    """Incremental chunked adds reproduce the one-shot install bit-for-bit
+    (codes, scales, norms, search results) — pins the O(new)-per-chunk
+    append path that replaced the pre-round-3 full requantization (the
+    requantize(dequantize(·)) identity holds because the row max element
+    always rounds to exactly ±127), including capacity growth across the
+    1024-row quantum and the codes3 gather layout."""
+    from radad_tpu.index.quantized import QuantizedIndex
+
+    n, d = 1400, 128  # crosses one capacity doubling (1024 -> 2048)
+    x, labels, paths = make_db(rng, n=n, d=d)
+    one = QuantizedIndex(d, "L2")
+    one.add(x, labels, paths)
+    inc = QuantizedIndex(d, "L2")
+    for lo in range(0, n, 300):
+        hi = min(lo + 300, n)
+        inc.add(x[lo:hi], labels[lo:hi], paths[lo:hi])
+    assert inc.n == one.n == n
+    np.testing.assert_array_equal(np.asarray(inc.codes)[:n],
+                                  np.asarray(one.codes)[:n])
+    np.testing.assert_array_equal(np.asarray(inc.scales)[:n],
+                                  np.asarray(one.scales)[:n])
+    np.testing.assert_allclose(np.asarray(inc.norm_sq)[:n],
+                               np.asarray(one.norm_sq)[:n], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(inc.ids)[:inc.codes.shape[0]]
+                                  >= 0,
+                                  np.arange(inc.codes.shape[0]) < n)
+    if one.codes3 is not None:
+        np.testing.assert_array_equal(np.asarray(inc.codes3)[:n],
+                                      np.asarray(one.codes3)[:n])
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    d1, i1 = one.search(q, 5)
+    d2, i2 = inc.search(q, 5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
 def test_overfetch_parity_mode(rng):
     """The reference's overfetch-(k+10)-and-filter retrieval returns the
     same neighbors as our on-device masked exclusion (pipeline.py:478-515
