@@ -138,6 +138,10 @@ class FlatIndex:
         # IVF state (row -> cell assignment; rows are NOT reordered)
         self.centroids: Optional[jnp.ndarray] = None  # [nlist, D]
         self.cells: Optional[jnp.ndarray] = None  # [cap] i32
+        # Gather-probed IVF (sublinear low-batch search; ivf_gather.py):
+        # dense inverted-list table + overflow, built by _train_ivf.
+        self.ivf_table: Optional[jnp.ndarray] = None  # [nlist, span] i32
+        self.ivf_overflow: Optional[jnp.ndarray] = None  # [V] i32
         # Default to the XLA path: measured on v5e, one matmul + lax.top_k
         # runs the flat scan at ~790 GB/s effective — essentially HBM
         # speed-of-light — while the fused Pallas kernel's in-kernel k-select
@@ -360,10 +364,19 @@ class FlatIndex:
                 assign_j(self.vectors[lo:lo + chunk], cents))
         # padded rows get some cell; masked by n anyway
         self.cells = jnp.asarray(cells)
+        # Dense inverted-list table for the gather-probed low-batch path
+        # (ivf_gather.py): 8-16 MB at nlist=4096 — cheap enough to always
+        # keep alongside the masked-scan state.
+        from radad_tpu.index.ivf_gather import build_cell_table
+
+        table, _, overflow = build_cell_table(cells, self.n, nlist)
+        self.ivf_table = jnp.asarray(table)
+        self.ivf_overflow = jnp.asarray(overflow)
 
     # ------------------------------------------------------------------
     def search(self, queries, k: int, *, exclude_ids=None,
-               nprobe: Optional[int] = None
+               nprobe: Optional[int] = None,
+               gather: Optional[bool] = None
                ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k over the index: → (distances [B,k], indices [B,k]).
 
@@ -377,6 +390,11 @@ class FlatIndex:
         matching the reference's per-search ``index.nprobe`` assignment
         (vector_database.py:175-179). A new value compiles a new search
         graph (nprobe is a static shape parameter).
+        ``gather`` (IVF only) forces the gather-probed path (True), the
+        masked scan (False), or picks by cost (None, default): the gather
+        path touches B*nprobe*span rows instead of all N, so it wins for
+        low-batch/serving queries and loses to the batch-amortized scan
+        for training-sized batches (see ivf_gather.py).
         """
         if self.n == 0:
             b = np.asarray(queries).shape[0]
@@ -389,6 +407,19 @@ class FlatIndex:
             exclude_ids = jnp.full((q.shape[0],), -2, jnp.int32)
         else:
             exclude_ids = jnp.asarray(exclude_ids, jnp.int32)
+        if self.metric == "IVF" and self.ivf_table is not None:
+            from radad_tpu.index.ivf_gather import ivf_gather_search
+
+            np_eff = min(self.nprobe if nprobe is None else int(nprobe),
+                         self.nlist)
+            touched = (q.shape[0] * np_eff * self.ivf_table.shape[1]
+                       + self.ivf_overflow.shape[0])
+            if gather or (gather is None and 2 * touched < self.n):
+                dists, idx = ivf_gather_search(
+                    q, self.vectors, self.norms_sq, self.ids, exclude_ids,
+                    self.centroids, self.ivf_table, self.ivf_overflow, k,
+                    nprobe=np_eff)
+                return np.asarray(dists), np.asarray(idx).astype(np.int64)
         cells = self.cells if self.metric == "IVF" else None
         cents = self.centroids if self.metric == "IVF" else None
         dists, idx = _search_device(

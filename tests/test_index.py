@@ -670,6 +670,79 @@ def test_ivf_clustered_recall_nprobe_sweep(rng):
     assert recalls[1] <= recalls[4] + 1e-9 <= recalls[16] + 2e-9, recalls
 
 
+def test_ivf_gather_matches_masked_scan(rng):
+    """Gather-probed IVF (ivf_gather.py) returns the masked scan's results
+    exactly when the span covers every cell: identical candidate sets
+    (cells are disjoint, the table holds each probed cell in full) and
+    HIGHEST-precision f32 scoring on both paths. Also: batch-global
+    exclusion semantics match, and the auto-dispatch threshold picks the
+    gather path for a single-query search."""
+    d, n = 48, 2400
+    centers = rng.standard_normal((24, d)).astype(np.float32) * 8
+    x = (centers[rng.integers(0, 24, n)]
+         + rng.standard_normal((n, d)).astype(np.float32))
+    labels = np.zeros(n, np.float32)
+    paths = [f"f{i}.wav" for i in range(n)]
+    idx = FlatIndex(d, "IVF", nlist=32, nprobe=6, use_pallas=False)
+    idx.add(x, labels, paths)
+    assert idx.ivf_table is not None and idx.ivf_overflow is not None
+    q = (x[:9] + 0.05 * rng.standard_normal((9, d))).astype(np.float32)
+    d_m, i_m = idx.search(q, 5, gather=False)
+    d_g, i_g = idx.search(q, 5, gather=True)
+    np.testing.assert_array_equal(i_m, i_g)
+    # distances agree to f32 accumulation-order noise (full-GEMM scan vs
+    # per-query gathered dot — same formula, different reduction order)
+    np.testing.assert_allclose(d_m, d_g, rtol=1e-4, atol=1e-3)
+    # batch-global exclusion: excluded ids appear in NEITHER path's results
+    from radad_tpu.data.manifest import file_id
+
+    excl = np.asarray([file_id(p) for p in paths[:9]], np.int32)
+    _, i_ex = idx.search(x[:9], 3, exclude_ids=excl, gather=True)
+    for r in range(9):
+        assert not (set(i_ex[r]) & set(range(9)))
+    # auto-dispatch: a B=1 query picks gather (touched rows << n) and
+    # matches the forced masked scan
+    d_a, i_a = idx.search(q[:1], 5)
+    d_m1, i_m1 = idx.search(q[:1], 5, gather=False)
+    np.testing.assert_array_equal(i_a, i_m1)
+    np.testing.assert_allclose(d_a, d_m1, rtol=1e-4, atol=1e-3)
+
+
+def test_ivf_gather_overflow_partition(rng):
+    """With a span cap below the max cell size, (table ∪ overflow)
+    partitions the rows exactly, and search still reaches tail rows via
+    the always-scanned overflow — recall vs the masked scan cannot drop."""
+    from radad_tpu.index.ivf_gather import build_cell_table, \
+        ivf_gather_search
+    import jax.numpy as jnp
+
+    d, n, nlist = 32, 600, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    cells = rng.integers(0, nlist, n).astype(np.int32)
+    table, counts, overflow = build_cell_table(cells, n, nlist, span_cap=40)
+    got = np.concatenate([table[table >= 0], overflow[overflow >= 0]])
+    np.testing.assert_array_equal(np.sort(got), np.arange(n))
+    assert counts.sum() == n
+    # cells larger than the span really did spill
+    assert (counts > table.shape[1]).any()
+    assert (overflow >= 0).sum() == (
+        np.maximum(counts - table.shape[1], 0).sum())
+    # search with the capped table: probing ALL cells must equal the
+    # exhaustive exact search (overflow restores the tails)
+    flat = FlatIndex(d, "L2", use_pallas=False)
+    labels = np.zeros(n, np.float32)
+    flat.add(x, labels, [f"f{i}.wav" for i in range(n)])
+    q = rng.standard_normal((5, d)).astype(np.float32)
+    _, exact = flat.search(q, 5)
+    cents = np.stack([x[cells == c].mean(0) for c in range(nlist)])
+    de, ie = ivf_gather_search(
+        jnp.asarray(q), flat.vectors, flat.norms_sq, flat.ids,
+        jnp.full((5,), -2, jnp.int32), jnp.asarray(cents),
+        jnp.asarray(table), jnp.asarray(overflow), 5, nprobe=nlist)
+    for r in range(5):
+        assert set(np.asarray(ie)[r]) == set(exact[r])
+
+
 def test_ivf_kmeans_iters_configurable(rng):
     """kmeans_iters flows from config through FlatIndex to training;
     nlist defaults to the reference's 4096 clamped to the train-set size
