@@ -190,7 +190,7 @@ def main():
             # 21.5 GB f32 host upload through the relay; bf16 rounding of
             # the rows moves the argmin cell only for boundary ties, which
             # the nprobe sweep's recall numbers absorb by construction.
-            achunk = 100_000
+            achunk = min(100_000, cap)
             assign_j = jax.jit(lambda buf, lo_, c: _assign_cells(
                 jax.lax.dynamic_slice(
                     buf, (lo_, 0), (achunk, d)).astype(jnp.float32), c))
@@ -211,6 +211,92 @@ def main():
                 bench_mode(f"bf16 IVF nprobe={nprobe}", search_ivf,
                            jnp.asarray(q_full),
                            (xsq, xbf, ids, excl, cents, cells))
+
+            # Gather-probed IVF (index/ivf_gather.py): the serving story.
+            # The masked scan reads all N rows per call regardless of B —
+            # at 1M x 5376 bf16 that is a 10.7 GB sweep even for ONE
+            # query. The gather path touches B * nprobe * span rows, so
+            # B=1 latency drops from O(N) to O(nprobe * span).
+            from radad_tpu.index.ivf_gather import (build_cell_table,
+                                                    ivf_gather_search)
+
+            table_np, counts_np, ovf_np = build_cell_table(
+                cells_np, n, 4096)
+            span = table_np.shape[1]
+            print(f"# gather table: span={span}, overflow="
+                  f"{int((ovf_np >= 0).sum())} rows, "
+                  f"table {table_np.nbytes / 1e6:.0f} MB", file=sys.stderr)
+            table = jnp.asarray(table_np)
+            ovf = jnp.asarray(ovf_np)
+
+            # honest comparison point: the masked scan at B=1 (same
+            # nprobe) still sweeps the whole DB
+            def scan_b1(qs, xsq, xbf, ids, excl, cents, cells):
+                return _search_device(
+                    qs, xbf, ids, excl, k, metric="IVF", n_valid=n,
+                    centroids=cents, cells=cells, nprobe=64,
+                    xsq=xsq, scan_bf16=xbf, gather3=None)
+
+            ex1 = jnp.full((1,), -2, jnp.int32)
+
+            def step1(qs, *cs):
+                vals, idx = scan_b1(qs, *cs)
+                return qs + 0.0 * (
+                    jnp.sum(jnp.where(jnp.isfinite(vals), vals, 0.0))
+                    + 1e-30 * jnp.sum(idx.astype(jnp.float32)))
+
+            dt1 = chain_time(step1, jnp.asarray(q_full[:1]), n=args.reps,
+                             consts=(xsq, xbf, ids, ex1, cents, cells))
+            row = {"metric": "1M-row masked-scan IVF nprobe=64 B=1 top-5",
+                   "rows": n, "dim": d, "value": round(dt1 * 1e3, 3),
+                   "unit": "ms/call", "qps": round(1 / dt1, 1)}
+            results.append(row)
+            print(json.dumps(row))
+            print(f"# masked-scan B=1: {dt1*1e3:.2f} ms/call",
+                  file=sys.stderr)
+            for gb, nprobe in ((1, 16), (1, 64), (8, 64)):
+                def search_g(qs, xsq, xbf, ids, excl, cents, table, ovf,
+                             nprobe=nprobe):
+                    return ivf_gather_search(
+                        qs, xbf, xsq, ids, excl, cents, table, ovf, k,
+                        nprobe=nprobe)
+
+                exg = jnp.full((gb,), -2, jnp.int32)
+
+                def stepg(qs, *cs):
+                    vals, idx = search_g(qs, *cs)
+                    return qs + 0.0 * (
+                        jnp.sum(jnp.where(jnp.isfinite(vals), vals, 0.0))
+                        + 1e-30 * jnp.sum(idx.astype(jnp.float32)))
+
+                consts = (xsq, xbf, ids, exg, cents, table, ovf)
+                dt = chain_time(stepg, jnp.asarray(q_full[:gb]),
+                                n=args.reps, consts=consts)
+                # recall on the oracle sample, gb queries at a time
+                hits = tot = 0
+                srch = jax.jit(search_g)
+                for lo in range(0, len(q_small), gb):
+                    qs = np.pad(q_small[lo:lo + gb],
+                                ((0, max(0, gb - (len(q_small) - lo))),
+                                 (0, 0)))
+                    _, gi = srch(jnp.asarray(qs), *consts)
+                    got = np.asarray(gi)
+                    for r in range(min(gb, len(q_small) - lo)):
+                        hits += len(set(got[r, :k]) & set(oracle_i[lo + r]))
+                        tot += k
+                rec = hits / tot
+                row = {"metric": (f"1M-row gather-probed IVF nprobe="
+                                  f"{nprobe} B={gb} top-{k}"),
+                       "rows": n, "dim": d,
+                       "value": round(dt * 1e3, 3), "unit": "ms/call",
+                       "qps": round(gb / dt, 1),
+                       "recall_at_5_vs_f32_oracle": round(rec, 4)}
+                results.append(row)
+                print(json.dumps(row))
+                print(f"# gather nprobe={nprobe} B={gb}: "
+                      f"{dt*1e3:.2f} ms/call -> {gb/dt:,.0f} QPS, "
+                      f"recall@{k}={rec:.4f}", file=sys.stderr)
+            del table, ovf
             del xbf, xsq, cents, cells
 
     if not args.skip_sq8:

@@ -109,7 +109,8 @@ class FlatIndex:
         # (10.7 GB bf16) fits one chip — FAISS-GPU's useFloat16 regime
         # (/root/reference/vector_database.py:78-84).
         self.single_buffer = bool(single_buffer) and self.use_float16
-        self.nlist = int(nlist)
+        self.nlist = int(nlist)  # configured target; see _train_ivf
+        self.nlist_effective: int = 0  # trained cell count (≤ nlist)
         self.nprobe = int(nprobe)
         # Lloyd iterations for IVF centroid training; default 25 = FAISS's
         # ClusteringParameters.niter, which the reference's IndexIVFFlat
@@ -342,14 +343,19 @@ class FlatIndex:
         # Reference default: nlist = max(64, config.ivf_nlist=4096)
         # (vector_database.py:66-68) — clamped here to the training-set
         # size (FAISS hard-errors when nx < k; we degrade gracefully
-        # since synthetic/test DBs are often < 4096 rows).
+        # since synthetic/test DBs are often < 4096 rows). The clamp is
+        # PER RETRAIN, not permanent: ``self.nlist`` keeps the configured
+        # target, so an index that grows past it regains cell granularity
+        # at the next retrain (adds retrain the coarse quantizer, same as
+        # re-running FAISS ``index.train``); ``self.nlist_effective``
+        # exposes the trained cell count.
         nlist = self.nlist or max(64, 4096)
         train = vecs[: min(len(vecs), 50000)]  # FAISS-style capped train set
         if nlist > len(train):
             logger.info("IVF nlist %d > %d training rows; clamping",
                         nlist, len(train))
             nlist = max(1, len(train))
-        self.nlist = nlist
+        self.nlist_effective = nlist
         cents, _ = kmeans(jnp.asarray(train), nlist,
                           iters=self.kmeans_iters, seed=0)
         self.centroids = cents
@@ -411,7 +417,7 @@ class FlatIndex:
             from radad_tpu.index.ivf_gather import ivf_gather_search
 
             np_eff = min(self.nprobe if nprobe is None else int(nprobe),
-                         self.nlist)
+                         self.ivf_table.shape[0])
             touched = (q.shape[0] * np_eff * self.ivf_table.shape[1]
                        + self.ivf_overflow.shape[0])
             if gather or (gather is None and 2 * touched < self.n):

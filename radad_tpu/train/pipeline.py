@@ -157,6 +157,34 @@ def retrieve_on_device(tpp, vectors, labels, ids, exclude_ids, *, k, metric,
     return neighbors, nlabels, dists, idx
 
 
+def retrieve_on_device_ivf_gather(tpp, vectors, xsq, labels, ids,
+                                  exclude_ids, centroids, table, overflow,
+                                  *, k, nprobe, exclude_mode="batch"):
+    """In-graph gather-probed IVF retrieval (index/ivf_gather.py).
+
+    Same output contract as ``retrieve_on_device`` (missing neighbors →
+    zero vectors, label 0.0, distance +inf, idx -1) but touches only the
+    probed cells' rows instead of the whole DB — the serving path for
+    large IVF indexes, where a B≤8 predict call must not sweep N rows.
+    The reference's serving search is the same FAISS ``IndexIVFFlat``
+    probe it trains with (vector_database.py:159-182)."""
+    from radad_tpu.index.ivf_gather import ivf_gather_search
+
+    dists, idx = ivf_gather_search(
+        tpp, vectors, xsq, ids, exclude_ids, centroids, table, overflow, k,
+        nprobe=nprobe, exclude_mode=exclude_mode)
+    safe = jnp.maximum(idx, 0).astype(jnp.int32)
+    d = vectors.shape[-1]
+    neighbors = jnp.take(vectors, safe.reshape(-1), axis=0)
+    neighbors = neighbors.astype(jnp.float32).reshape(idx.shape + (d,))
+    ok = (idx >= 0)[..., None]
+    neighbors = jnp.where(ok, neighbors, 0.0)
+    nlabels = jnp.where(idx >= 0,
+                        jnp.take(labels, safe.reshape(-1)).reshape(idx.shape),
+                        0.0)
+    return neighbors, nlabels, dists, idx
+
+
 ACC_KEYS = ("loss_sum", "correct", "count", "nnz_sum", "gn_proj_sum",
             "gn_fuse_sum", "gn_det_sum", "batches")
 
@@ -404,12 +432,20 @@ class DetectionPipeline:
             if self.index.metric == "IVF":
                 return base + (self.index.centroids, self.index.cells)
             return base
-        return (self.index.vectors, self.index.labels, self.index.ids,
+        base = (self.index.vectors, self.index.labels, self.index.ids,
                 self.index.norms_sq, self.index.scan_bf16,
                 self.index.gather3, self.index.resid_bf16)
+        if (self.index.metric == "IVF"
+                and getattr(self.index, "ivf_table", None) is not None):
+            # Gather-probed IVF state (index/ivf_gather.py): lets the
+            # predict graph run sublinear probed retrieval for low-batch
+            # serving (see _retrieve's prefer_ivf_gather).
+            return base + (self.index.centroids, self.index.ivf_table,
+                           self.index.ivf_overflow)
+        return base
 
     def _retrieve(self, index_args, tpp, exclude_ids, *, k, metric, n_valid,
-                  exclude_mode="batch"):
+                  exclude_mode="batch", prefer_ivf_gather=False):
         """Dispatch in-graph retrieval by index kind and mesh.
 
         With a mesh and the reference's batch-global exclusion the search
@@ -418,7 +454,16 @@ class DetectionPipeline:
         predict_batch requests) has no sharded formulation yet, and small
         predict batches may not divide the data axis — both fall back to
         the dense exact scan via GSPMD, ignoring IVF probes (a candidate
-        superset, never worse recall)."""
+        superset, never worse recall).
+
+        ``prefer_ivf_gather`` (the predict graph sets it): when the index
+        is IVF with a cell table and the batch is small enough that
+        B*nprobe*span + overflow rows undercut the full scan, retrieval
+        runs the gather-probed path (index/ivf_gather.py) — sublinear in
+        N instead of a whole-DB sweep per serving call. Training keeps
+        the batch-amortized exact scan regardless (the flag is never set
+        on the train/eval steps), so training quality semantics are
+        untouched."""
         from radad_tpu.parallel.mesh import DATA_AXIS
 
         shardable = (self.mesh is not None
@@ -454,6 +499,17 @@ class DetectionPipeline:
                 k=k, metric="L2", n_valid=n_valid, codes3=codes3,
                 exclude_mode=exclude_mode)
         vectors, labels, ids, xsq = index_args[:4]
+        if self.mesh is None and len(index_args) == 10:
+            cents, table, overflow = index_args[7:10]
+            nprobe = min(self.index.nprobe, table.shape[0])
+            touched = (tpp.shape[0] * nprobe * table.shape[1]
+                       + overflow.shape[0])
+            if prefer_ivf_gather and 2 * touched < n_valid:
+                return retrieve_on_device_ivf_gather(
+                    tpp, vectors, xsq, labels, ids, exclude_ids, cents,
+                    table, overflow, k=k, nprobe=nprobe,
+                    exclude_mode=exclude_mode)
+            index_args = index_args[:7]
         scan_bf16 = gather3 = resid_bf16 = None
         if self.mesh is None and len(index_args) == 7:
             scan_bf16, gather3, resid_bf16 = index_args[4:7]
@@ -477,11 +533,18 @@ class DetectionPipeline:
         makes a warm single-clip predict one device call. ``lax.cond``
         runs the unexcluded retry only when exclusion wiped every
         neighbor (VERDICT r1 weak #7: no per-call host sync)."""
-        key = (metric, n_valid, k, exclude_mode)
+        # nprobe + cell-table span join the key: the gather-probed branch
+        # (see _retrieve) bakes both into the trace, and either can change
+        # on adds / per-call nprobe overrides.
+        ivf_sig = None
+        if (not self.is_quantized and self.index.metric == "IVF"
+                and getattr(self.index, "ivf_table", None) is not None):
+            ivf_sig = (self.index.nprobe, self.index.ivf_table.shape)
+        key = (metric, n_valid, k, exclude_mode, ivf_sig)
         fn = self._predict_cache.get(key)
         if fn is not None:
             return fn
-        retrieve = self._retrieve
+        retrieve = partial(self._retrieve, prefer_ivf_gather=True)
         embed = self._embed_raw
         model = self.model
 

@@ -755,7 +755,10 @@ def test_ivf_kmeans_iters_configurable(rng):
     idx.add(x, np.zeros(200, np.float32), [f"f{i}" for i in range(200)])
     assert idx.kmeans_iters == 3
     # unset nlist → reference default 4096, clamped to the 200 train rows
-    assert idx.nlist == 200
+    # (per-retrain: the configured target is kept so a grown DB regains
+    # granularity at the next retrain)
+    assert idx.nlist_effective == 200
+    assert idx.centroids.shape[0] == 200
 
 
 def test_certificate_holds_on_clustered_embeddings():

@@ -439,3 +439,103 @@ def test_async_save_persists_before_train_returns(trained):
         np.asarray(loaded.vectors.astype(jnp.float32))[: loaded.n],
         np.asarray(pipe.index.vectors.astype(jnp.float32))[: pipe.index.n],
         atol=0)
+
+
+def test_retrieve_ivf_gather_matches_masked_probe():
+    """retrieve_on_device_ivf_gather == retrieve_on_device(metric="IVF")
+    for the same (centroids, cells, nprobe) when the cell table has no
+    overflow spill: identical neighbor ids/labels, matching distances,
+    and the same missing-neighbor padding contract."""
+    import jax.numpy as jnp
+
+    from radad_tpu.index.flat import _assign_cells
+    from radad_tpu.index.ivf_gather import build_cell_table
+    from radad_tpu.train.pipeline import retrieve_on_device_ivf_gather
+
+    rng = np.random.default_rng(3)
+    d, n, nlist, k, nprobe = 32, 800, 16, 5, 4
+    centers = rng.standard_normal((nlist, d)).astype(np.float32) * 6
+    x = (centers[rng.integers(0, nlist, n)]
+         + rng.standard_normal((n, d)).astype(np.float32))
+    vectors = jnp.asarray(x)
+    labels = jnp.asarray(rng.integers(0, 2, n).astype(np.float32))
+    ids = jnp.arange(n, dtype=jnp.int32)
+    xsq = jnp.sum(jnp.square(vectors), -1)
+    cents = jnp.asarray(centers)
+    cells = np.asarray(_assign_cells(vectors, cents))
+    table, counts, overflow = build_cell_table(cells, n, nlist)
+    assert counts.max() <= table.shape[1]  # no spill → identical cand set
+    tpp = jnp.asarray(x[:7] + 0.03 * rng.standard_normal((7, d)),
+                      jnp.float32)
+    excl = jnp.asarray([0, 1, 2, 3, 4, 5, 6], jnp.int32)
+
+    from radad_tpu.index.flat import _search_device
+
+    for mode in ("batch", "self"):
+        d_m, i_m = _search_device(
+            tpp, vectors, ids, excl, k, metric="IVF", n_valid=n,
+            centroids=cents, cells=jnp.asarray(cells), nprobe=nprobe,
+            xsq=xsq, exclude_mode=mode)
+        nb_g, nl_g, d_g, i_g = retrieve_on_device_ivf_gather(
+            tpp, vectors, xsq, labels, ids, excl, cents,
+            jnp.asarray(table), jnp.asarray(overflow), k=k, nprobe=nprobe,
+            exclude_mode=mode)
+        np.testing.assert_array_equal(np.asarray(i_m), np.asarray(i_g))
+        np.testing.assert_allclose(np.asarray(d_m), np.asarray(d_g),
+                                   rtol=1e-4, atol=1e-3)
+        # neighbor rows and labels follow the ids
+        safe = np.maximum(np.asarray(i_g), 0)
+        np.testing.assert_allclose(
+            np.asarray(nb_g),
+            np.where((np.asarray(i_g) >= 0)[..., None], x[safe], 0.0),
+            rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(nl_g),
+            np.where(np.asarray(i_g) >= 0,
+                     np.asarray(labels)[safe], 0.0))
+
+
+def test_predict_uses_ivf_gather_path(synthetic_dataset, tiny_encoder,
+                                      tmp_path, monkeypatch):
+    """An IVF pipeline with a large-enough DB routes predict through the
+    gather-probed retrieval (sublinear serving path) and predict_batch
+    stays consistent with per-clip predict."""
+    import radad_tpu.train.pipeline as P
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    cfg = Config().replace(
+        data_root=str(tmp_path), train_data_path=synthetic_dataset,
+        vector_db_path=os.path.join(str(tmp_path), "vdb"),
+        vector_db_index_type="IVF", batch_size=8, eval_batch_size=8,
+        db_batch_size=8, use_layer_norm=True, use_batch_norm=False)
+    splits = load_manifests(synthetic_dataset, train_split=cfg.train_split,
+                            seed=cfg.random_seed)
+    pipe = DetectionPipeline(cfg, encoder=tiny_encoder)
+    pipe.build_vector_database(splits["train"])
+    # grow the DB so B*nprobe*span + overflow ≪ N (the gather-gate)
+    rng = np.random.default_rng(0)
+    extra = 2048
+    pipe.index.add(rng.standard_normal(
+        (extra, pipe.tpp_dim)).astype(np.float32),
+        np.zeros(extra, np.float32),
+        [f"extra_{i:05d}.wav" for i in range(extra)])
+    assert pipe.index.ivf_table is not None
+
+    calls = {"n": 0}
+    real = P.retrieve_on_device_ivf_gather
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(P, "retrieve_on_device_ivf_gather", spy)
+    paths = list(splits["val"].paths[:2])
+    single = pipe.predict(paths[0])
+    assert calls["n"] > 0, "predict did not take the gather-probed path"
+    assert 0.0 <= single["probability_spoof"] <= 1.0
+    assert len(single["retrieved_files"]) == cfg.top_k
+    batch = pipe.predict_batch(paths)
+    assert batch[0]["prediction"] == single["prediction"]
+    assert abs(batch[0]["probability_spoof"]
+               - single["probability_spoof"]) < 1e-4
+    assert batch[0]["retrieved_files"] == single["retrieved_files"]
