@@ -273,7 +273,13 @@ class FlatIndex:
                 self.gather3 = _dus(self.gather3, rows3, start)
         self.n = need
 
-    def _install(self, vecs, labels: np.ndarray, ids: np.ndarray) -> None:
+    def _install(self, vecs, labels: np.ndarray, ids: np.ndarray,
+                 ivf_state: Optional[Tuple[np.ndarray, np.ndarray]] = None
+                 ) -> None:
+        """Install rows; ``ivf_state=(centroids, cells)`` restores a
+        trained coarse quantizer (load path) instead of re-running
+        k-means — FAISS's write_index/read_index persists the trained
+        quantizer too (vector_database.py:190-216)."""
         self.n = vecs.shape[0]
         self._cap = _round_up(self.n)
         pad = self._cap - self.n
@@ -335,7 +341,26 @@ class FlatIndex:
                         v, ((0, 0), (0, (sub_pad - sub) * _LANES))
                     ).reshape(v.shape[0], sub_pad, _LANES))(self.vectors)
         if self.metric == "IVF" and self.n:
-            self._train_ivf(vecs)
+            if ivf_state is not None:
+                self._restore_ivf(*ivf_state)
+            else:
+                self._train_ivf(vecs)
+
+    def _restore_ivf(self, centroids: np.ndarray, cells: np.ndarray
+                     ) -> None:
+        """Adopt a persisted (centroids, cells) pair: pad the assignment
+        to capacity, rebuild the gather table — no k-means."""
+        from radad_tpu.index.ivf_gather import build_cell_table
+
+        self.centroids = jnp.asarray(centroids, jnp.float32)
+        self.nlist_effective = int(centroids.shape[0])
+        cells = np.asarray(cells, np.int32)[: self.n]
+        cells_p = np.pad(cells, (0, self._cap - self.n))
+        self.cells = jnp.asarray(cells_p)
+        table, _, overflow = build_cell_table(
+            cells_p, self.n, self.nlist_effective)
+        self.ivf_table = jnp.asarray(table)
+        self.ivf_overflow = jnp.asarray(overflow)
 
     def _train_ivf(self, vecs: np.ndarray) -> None:
         from radad_tpu.index.ivf import kmeans
@@ -516,7 +541,12 @@ class FlatIndex:
             ids=np.asarray(self.ids)[: self.n],
         )
         if self.centroids is not None:
+            # Trained coarse quantizer + row→cell assignment: load()
+            # restores both instead of re-running k-means (minutes at
+            # 1M rows), mirroring faiss.write_index persisting the
+            # trained IVF quantizer.
             arrays["centroids"] = np.asarray(self.centroids)
+            arrays["cells"] = np.asarray(self.cells)[: self.n]
         np.savez(os.path.join(directory, "index_arrays.npz"), **arrays)
         meta = dict(dimension=self.dimension, metric=self.metric, n=self.n,
                     nlist=self.nlist, nprobe=self.nprobe,
@@ -540,7 +570,11 @@ class FlatIndex:
             host = pickle.load(f)
         idx.paths = list(host["paths"])
         idx.metadata = list(host["metadata"])
-        idx._install(data["vectors"], data["labels"], data["ids"])
+        ivf_state = None
+        if "centroids" in data and "cells" in data:
+            ivf_state = (data["centroids"], data["cells"])
+        idx._install(data["vectors"], data["labels"], data["ids"],
+                     ivf_state=ivf_state)
         return idx
 
 

@@ -1006,3 +1006,42 @@ def test_extract_topm_kernel_parity(rng):
         assert np.array_equal(np.asarray(lanes), np.stack(ol, -1)), (b, t)
         assert np.array_equal(np.asarray(left),
                               np.asarray(jnp.max(c, axis=-1))), (b, t)
+
+
+def test_ivf_save_load_no_retrain(rng, tmp_path, monkeypatch):
+    """IVF persistence carries the trained quantizer: load() restores
+    (centroids, cells, gather table) WITHOUT re-running k-means (FAISS
+    write_index/read_index parity — at 1M rows a load-time retrain costs
+    minutes), and search results are identical to the saved index."""
+    d, n = 32, 500
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = FlatIndex(d, "IVF", nlist=16, nprobe=4, use_pallas=False)
+    idx.add(x, np.zeros(n, np.float32), [f"f{i}.wav" for i in range(n)])
+    q = rng.standard_normal((6, d)).astype(np.float32)
+    d0, i0 = idx.search(q, 5)
+    idx.save(str(tmp_path / "vdb"))
+
+    import radad_tpu.index.ivf as ivf_mod
+
+    def boom(*a, **kw):
+        raise AssertionError("load() must not re-run k-means")
+
+    monkeypatch.setattr(ivf_mod, "kmeans", boom)
+    loaded = FlatIndex.load(str(tmp_path / "vdb"), use_pallas=False)
+    assert loaded.nlist_effective == idx.nlist_effective
+    np.testing.assert_array_equal(np.asarray(loaded.centroids),
+                                  np.asarray(idx.centroids))
+    np.testing.assert_array_equal(
+        np.asarray(loaded.cells)[:n], np.asarray(idx.cells)[:n])
+    np.testing.assert_array_equal(np.asarray(loaded.ivf_table),
+                                  np.asarray(idx.ivf_table))
+    d1, i1 = loaded.search(q, 5)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)
+    # a later add still retrains (the guard is load-only)
+    monkeypatch.setattr(ivf_mod, "kmeans",
+                        lambda *a, **kw: (_ for _ in ()).throw(
+                            RuntimeError("retrain-marker")))
+    with pytest.raises(RuntimeError, match="retrain-marker"):
+        loaded.add(x[:8], np.zeros(8, np.float32),
+                   [f"g{i}.wav" for i in range(8)])
