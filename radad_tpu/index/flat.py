@@ -966,8 +966,15 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
               + jnp.sum(centroids ** 2, -1)[None, :])  # [B, nlist]
         nprobe_eff = min(nprobe, centroids.shape[0])
         _, probe_cells = jax.lax.top_k(-qc, nprobe_eff)  # [B, nprobe]
-        probe_mask = jnp.any(
-            cells[None, :, None] == probe_cells[:, None, :], axis=-1)  # [B, cap]
+        # Membership via a [B, nlist] scatter + per-row gather: O(B·nlist
+        # + B·N), not the O(B·N·nprobe) broadcast compare (measured 27 →
+        # 131 ms/batch(128) across nprobe 16→1024 at 1M rows before this).
+        member = jnp.zeros((q.shape[0], centroids.shape[0]), jnp.bool_)
+        member = member.at[
+            jnp.arange(q.shape[0], dtype=jnp.int32)[:, None], probe_cells
+        ].set(True)  # [B, nlist]
+        probe_mask = jnp.take(member, cells, axis=1,
+                              mode="clip")  # [B, cap]
 
     if (exact and scan_bf16 is not None and xsq is not None
             and (not use_pallas or metric == "IVF")):

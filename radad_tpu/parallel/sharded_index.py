@@ -121,9 +121,15 @@ def sharded_retrieve(
                   + jnp.sum(cents ** 2, -1)[None, :])  # [b, nlist]
             nprobe_eff = min(nprobe, cents.shape[0])
             _, probe_cells = jax.lax.top_k(-qc, nprobe_eff)
-            probe_mask = jnp.any(
-                cells_loc[None, :, None] == probe_cells[:, None, :],
-                axis=-1)  # [b, rows]
+            # [b, nlist] membership scatter + gather by cell id — avoids
+            # the O(b·rows·nprobe) broadcast compare (see index/flat.py).
+            member = jnp.zeros((q_loc.shape[0], cents.shape[0]),
+                               jnp.bool_)
+            member = member.at[
+                jnp.arange(q_loc.shape[0], dtype=jnp.int32)[:, None],
+                probe_cells].set(True)
+            probe_mask = jnp.take(member, cells_loc, axis=1,
+                                  mode="clip")  # [b, rows]
             mask = mask | ~probe_mask
         scores = jnp.where(mask, -jnp.inf, scores)
         vals, loc_idx = jax.lax.top_k(scores, k)  # [b, k]
