@@ -58,6 +58,13 @@ def host_oracle_topk(x: np.ndarray, q: np.ndarray, k: int,
             np.take_along_axis(best_i, order, axis=1))
 
 
+def _persist(row: dict) -> None:
+    """Crash-safe incremental record (the full run takes ~1 h; a late
+    failure must not lose earlier rows)."""
+    with open("experiments/million_row_bench.jsonl", "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
 def recall_at_k(got: np.ndarray, want: np.ndarray) -> float:
     k = want.shape[1]
     return float(np.mean([len(set(got[r, :k]) & set(want[r, :k])) / k
@@ -140,6 +147,7 @@ def main():
                "ms_per_batch": round(dt * 1e3, 3),
                "recall_at_5_vs_f32_oracle": round(rec, 4)}
         results.append(row)
+        _persist(row)
         print(json.dumps(row))
         print(f"# {name}: {dt*1e3:.2f} ms/batch({b}) -> {qps:,.0f} QPS, "
               f"recall@{k}={rec:.4f}", file=sys.stderr)
@@ -251,6 +259,7 @@ def main():
                    "rows": n, "dim": d, "value": round(dt1 * 1e3, 3),
                    "unit": "ms/call", "qps": round(1 / dt1, 1)}
             results.append(row)
+            _persist(row)
             print(json.dumps(row))
             print(f"# masked-scan B=1: {dt1*1e3:.2f} ms/call",
                   file=sys.stderr)
@@ -292,11 +301,15 @@ def main():
                        "qps": round(gb / dt, 1),
                        "recall_at_5_vs_f32_oracle": round(rec, 4)}
                 results.append(row)
+                _persist(row)
                 print(json.dumps(row))
                 print(f"# gather nprobe={nprobe} B={gb}: "
                       f"{dt*1e3:.2f} ms/call -> {gb/dt:,.0f} QPS, "
                       f"recall@{k}={rec:.4f}", file=sys.stderr)
-            del table, ovf
+            # Drop EVERY reference to the 10.7 GB bf16 buffer before the
+            # SQ8 section — the consts tuples keep it alive otherwise
+            # (measured: SQ8 adds OOM at ~200k rows with it resident).
+            del table, ovf, consts
             del xbf, xsq, cents, cells
 
     if not args.skip_sq8:
