@@ -75,6 +75,16 @@ class Config:
     # windows. None = run only the real frames (TPU-fast mode, different
     # embeddings; opt-in).
     whisper_pad_seconds: Optional[float] = 30.0
+    # Per-segment zero-mean/unit-variance input normalization for the
+    # waveform encoders (wav2vec2/wavlm/hubert). The reference inherits
+    # this from each HF checkpoint's processor (``do_normalize`` in
+    # preprocessor_config.json, applied by Wav2Vec2Processor /
+    # AutoFeatureExtractor — feature_extractor.py:14,27-30,152-154):
+    # False for wav2vec2-base-960h / wavlm-base, True for the lv60/xlsr/
+    # large families. None = auto: read do_normalize from the
+    # preprocessor_config.json beside the local checkpoint when loading
+    # pretrained weights, else False. Whisper is mel-based and unaffected.
+    input_normalize: Optional[bool] = None
 
     # --- Temporal Pyramid Pooling (reference config.py:48-49) ---
     tpp_levels: Tuple[int, ...] = (1, 2, 4)

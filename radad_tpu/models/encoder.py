@@ -44,6 +44,12 @@ class FrozenEncoder:
     layers_to_use: tuple = (-4, -3, -2, -1)  # wav2vec2 only
     compute_dtype: Any = jnp.float32
     whisper_pad_seconds: Any = 30.0  # None = trimmed fast mode
+    # Per-segment zero-mean/unit-var waveform normalization, the HF
+    # processor's ``do_normalize`` the reference applies before the
+    # waveform encoders (feature_extractor.py:27-30 via Wav2Vec2Processor,
+    # :152-154 via AutoFeatureExtractor). Resolved by build_encoder from
+    # config.input_normalize or the checkpoint's preprocessor_config.json.
+    input_normalize: bool = False
 
     @property
     def feature_dim(self) -> int:
@@ -62,6 +68,14 @@ class FrozenEncoder:
         """
         lead = segments.shape[:-1]
         flat = segments.reshape((-1, segments.shape[-1]))
+        if self.input_normalize and self.name != "whisper":
+            # HF zero_mean_unit_var_norm (population variance, eps 1e-7),
+            # per segment — the reference's segments are equal-length so
+            # the processor normalizes each over its full window.
+            flat = flat.astype(jnp.float32)
+            mean = jnp.mean(flat, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(flat - mean), axis=-1, keepdims=True)
+            flat = (flat - mean) / jnp.sqrt(var + 1e-7)
         if self.name in ("wav2vec2", "hubert"):
             # hubert: same architecture family (HF HubertModel state dicts
             # are key-identical to Wav2Vec2Model), same layer-select mean.
@@ -267,9 +281,32 @@ def build_encoder(config, *, weights_dir: Optional[str] = None,
     dtype = (jnp.dtype(config.compute_dtype)
              if getattr(config, "use_mixed_precision", False)
              else jnp.float32)
+    # Input normalization: explicit config wins; else the checkpoint's own
+    # preprocessor_config.json (the file HF's from_pretrained processors
+    # read for do_normalize — reference feature_extractor.py:14,131); else
+    # off (correct for the reference's default base checkpoints).
+    normalize = getattr(config, "input_normalize", None)
+    if normalize is None:
+        normalize = False
+        if ckpt is not None:
+            pp_json = os.path.join(os.path.dirname(ckpt),
+                                   "preprocessor_config.json")
+            if os.path.exists(pp_json):
+                import json
+                with open(pp_json) as f:
+                    normalize = bool(json.load(f).get("do_normalize", False))
+                logger.info("input_normalize=%s (from %s)", normalize,
+                            pp_json)
+            else:
+                logger.warning(
+                    "No preprocessor_config.json beside %s — assuming "
+                    "do_normalize=False. For lv60/xlsr/large-family "
+                    "checkpoints place the file next to the weights or set "
+                    "config.input_normalize explicitly.", ckpt)
     return FrozenEncoder(
         name=kind, model_name=model_name, arch_cfg=arch_cfg, params=params,
         pretrained=pretrained,
         layers_to_use=tuple(config.wav2vec2_layers_to_use),
         compute_dtype=dtype,
-        whisper_pad_seconds=getattr(config, "whisper_pad_seconds", 30.0))
+        whisper_pad_seconds=getattr(config, "whisper_pad_seconds", 30.0),
+        input_normalize=bool(normalize))

@@ -303,3 +303,78 @@ def test_hubert_factory(tmp_path):
 
     large = resolve_arch_config("hubert", "facebook/hubert-large-ls960-ft")
     assert (large.hidden_size, large.do_stable_layer_norm) == (1024, True)
+
+
+def test_input_normalize_matches_hf_processor(rng):
+    """FrozenEncoder(input_normalize=True) reproduces the HF processor's
+    zero_mean_unit_var_norm + encoder forward — the ``do_normalize``
+    preprocessing the reference inherits from each checkpoint's
+    Wav2Vec2Processor/AutoFeatureExtractor (feature_extractor.py:14,27-30,
+    :152-154; preprocessor_config.json sets it per checkpoint: False for
+    the base-960h/wavlm-base defaults, True for the lv60/xlsr/large
+    families)."""
+    from transformers import Wav2Vec2FeatureExtractor as HFFe
+    from radad_tpu.models.encoder import FrozenEncoder
+
+    tm, cfg, params = tiny_w2v2_pair()
+    fe = HFFe(feature_size=1, sampling_rate=16000, do_normalize=True,
+              return_attention_mask=False)
+    # offset/scaled inputs so normalization is not a near-no-op (real
+    # waveforms are not zero-mean/unit-var)
+    segs = [(0.1 * rng.standard_normal(2000) + 0.05 * (i + 1)
+             ).astype(np.float32) for i in range(3)]
+    inputs = fe(segs, sampling_rate=16000, return_tensors="pt",
+                padding=True).input_values
+    with torch.no_grad():
+        out = tm(inputs, output_hidden_states=True)
+    want = torch.mean(torch.stack([out.hidden_states[-2],
+                                   out.hidden_states[-1]]), dim=0).numpy()
+
+    enc = FrozenEncoder(name="wav2vec2", model_name="tiny", arch_cfg=cfg,
+                        params=params, pretrained=False,
+                        layers_to_use=(-2, -1), input_normalize=True)
+    got = np.asarray(enc.segment_features(params, jnp.asarray(
+        np.stack(segs))))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+    # and without the flag the outputs must differ (the raw path)
+    raw = FrozenEncoder(name="wav2vec2", model_name="tiny", arch_cfg=cfg,
+                        params=params, pretrained=False,
+                        layers_to_use=(-2, -1))
+    assert np.abs(np.asarray(raw.segment_features(
+        params, jnp.asarray(np.stack(segs)))) - want).max() > 1e-3
+
+
+def test_build_encoder_reads_preprocessor_config(tmp_path, monkeypatch):
+    """config.input_normalize=None resolves do_normalize from the
+    checkpoint's preprocessor_config.json (True/False/absent), and an
+    explicit config value overrides the file."""
+    import json as _json
+
+    import radad_tpu.models.encoder as enc_mod
+    from radad_tpu.config import Config
+
+    tm, tiny_cfg, _ = tiny_w2v2_pair()
+    wdir = tmp_path / "weights" / "facebook--wav2vec2-base-960h"
+    wdir.mkdir(parents=True)
+    torch.save(tm.state_dict(), str(wdir / "pytorch_model.bin"))
+    orig = enc_mod._REGISTRY["wav2vec2"]
+    enc_mod._REGISTRY["wav2vec2"] = (lambda: tiny_cfg, orig[1], orig[2])
+    base = Config().replace(data_root=str(tmp_path))
+    try:
+        # no preprocessor_config.json → off
+        assert not enc_mod.build_encoder(
+            base, weights_dir=str(tmp_path / "weights")).input_normalize
+        (wdir / "preprocessor_config.json").write_text(
+            _json.dumps({"do_normalize": True}))
+        assert enc_mod.build_encoder(
+            base, weights_dir=str(tmp_path / "weights")).input_normalize
+        (wdir / "preprocessor_config.json").write_text(
+            _json.dumps({"do_normalize": False}))
+        assert not enc_mod.build_encoder(
+            base, weights_dir=str(tmp_path / "weights")).input_normalize
+        # explicit config wins over the file
+        assert enc_mod.build_encoder(
+            base.replace(input_normalize=True),
+            weights_dir=str(tmp_path / "weights")).input_normalize
+    finally:
+        enc_mod._REGISTRY["wav2vec2"] = orig
