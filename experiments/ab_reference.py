@@ -1,0 +1,385 @@
+"""End-to-end A/B against the ACTUAL reference implementation.
+
+The strongest offline quality-parity evidence possible without pretrained
+checkpoints: run the reference's own torch code (`/root/reference/`,
+imported at runtime — never copied) and this framework on the SAME
+synthetic dataset with the SAME frozen encoder weights, and compare
+
+  1. clip embeddings (load → segment → wav2vec2 → layer-select mean →
+     TPP → segment mean) — elementwise;
+  2. retrieval neighbors (DB build → overfetch-(k+10) → basename
+     exclusion → top-5) — path-for-path;
+  3. trained detection quality (pos-weighted BCE, 3×Adam + clip(1.0),
+     per-epoch val EER/AUC) — final/best metrics side by side.
+
+(1) and (2) are exactness checks: they pin the full frozen embedding +
+retrieval data path end to end through BOTH codebases. (3) is a
+statistical check: init/dropout/shuffle RNGs differ between torch and
+JAX, so trajectories are compared as metrics, not bits.
+
+The reference runs unmodified on CPU; its missing native deps are shimmed
+with exact stand-ins installed in sys.modules BEFORE any reference import
+(config.py imports faiss/librosa/torchaudio at module scope):
+
+  * faiss   → numpy flat L2/IP index (squared-L2, ascending, stable ties)
+              with add/search/reconstruct/ntotal/write_index/read_index —
+              the subset the reference touches (vector_database.py:56-242);
+  * librosa → librosa.load via radad_tpu.data.audio (same WAV decode; the
+              synthetic corpus is 16 kHz so no resampling is in play);
+  * torchaudio → import-only stub (dataset.py:7 imports it, never uses it
+              beyond main.py's env-var backend disabling).
+
+transformers.{Wav2Vec2Model,Wav2Vec2Processor}.from_pretrained are
+monkeypatched to return one shared seeded tiny-config model (no network)
+and a Wav2Vec2FeatureExtractor(do_normalize=False) — base-960h's real
+preprocessor setting. The SAME state_dict is converted for the JAX side
+(models/hf_convert.py), so both frameworks run identical frozen weights.
+
+Usage:
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python experiments/ab_reference.py \
+      --data_path /tmp/synth400 --epochs 10
+
+Appends one JSON record to experiments/ab_reference.json.
+"""
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+import types
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+TINY_KW = dict(hidden_size=64, num_hidden_layers=4, num_attention_heads=4,
+               intermediate_size=128, conv_dim=(32, 32, 32, 32),
+               conv_kernel=(10, 8, 4, 4), conv_stride=(5, 4, 4, 4),
+               num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+               conv_bias=False)
+
+
+# --------------------------------------------------------------------------
+# Shims (exact stand-ins for the reference's missing native deps)
+# --------------------------------------------------------------------------
+
+class _FlatIndex:
+    """numpy IndexFlat{L2,IP}: the faiss API surface the reference uses."""
+
+    def __init__(self, d, metric="L2"):
+        self.d = int(d)
+        self.metric = metric
+        self.xb = np.zeros((0, self.d), np.float32)
+
+    @property
+    def ntotal(self):
+        return self.xb.shape[0]
+
+    def add(self, x):
+        self.xb = np.concatenate(
+            [self.xb, np.ascontiguousarray(x, np.float32)], axis=0)
+
+    def search(self, q, k):
+        q = np.ascontiguousarray(q, np.float32)
+        if self.metric == "L2":  # squared L2, ascending (faiss convention)
+            d = ((q ** 2).sum(1, keepdims=True) - 2.0 * (q @ self.xb.T)
+                 + (self.xb ** 2).sum(1)[None, :])
+        else:  # IP: descending similarity → sort on negated
+            d = -(q @ self.xb.T)
+        order = np.argsort(d, axis=1, kind="stable")[:, :k]
+        dist = np.take_along_axis(d, order, axis=1)
+        if self.metric != "L2":
+            dist = -dist
+        return dist.astype(np.float32), order.astype(np.int64)
+
+    def reconstruct(self, i):
+        return self.xb[int(i)].copy()
+
+
+class _IVFFlat(_FlatIndex):
+    """Exact-scan stand-in for IndexIVFFlat (unused by the default L2
+    config; present so create_index's IVF branch doesn't crash)."""
+
+    def __init__(self, quantizer, d, nlist, metric):
+        super().__init__(d, "L2")
+        self.nlist = nlist
+        self.is_trained = False
+        self.nprobe = 1
+
+    def train(self, x):
+        self.is_trained = True
+
+
+def _register(mod):
+    # a real ModuleSpec so importlib.util.find_spec (which transformers
+    # runs on "faiss") accepts the shim
+    import importlib.machinery
+    mod.__spec__ = importlib.machinery.ModuleSpec(mod.__name__, None)
+    sys.modules[mod.__name__] = mod
+
+
+def install_shims():
+    faiss = types.ModuleType("faiss")
+    faiss.METRIC_L2 = 1
+    faiss.IndexFlatL2 = lambda d: _FlatIndex(d, "L2")
+    faiss.IndexFlatIP = lambda d: _FlatIndex(d, "IP")
+    faiss.IndexIVFFlat = _IVFFlat
+
+    def write_index(index, path):
+        with open(path, "wb") as f:
+            pickle.dump(index, f)
+
+    def read_index(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+    def index_gpu_to_cpu(index):  # reference calls it inside try/except
+        raise RuntimeError("CPU index")
+
+    faiss.write_index = write_index
+    faiss.read_index = read_index
+    faiss.index_gpu_to_cpu = index_gpu_to_cpu
+    faiss.get_num_gpus = lambda: 0
+    _register(faiss)
+
+    librosa = types.ModuleType("librosa")
+
+    def load(path, sr=22050, duration=None, mono=True, **kw):
+        from radad_tpu.data.audio import load_audio
+        return load_audio(path, sample_rate=sr, duration=duration,
+                          pad=False), sr
+
+    librosa.load = load
+    librosa.get_duration = lambda **kw: 0.0
+    _register(librosa)
+
+    ta = types.ModuleType("torchaudio")
+    ta.set_audio_backend = lambda *a, **k: None
+    _register(ta)
+
+
+def patch_transformers():
+    """from_pretrained → one shared seeded tiny model; returns it so the
+    JAX side converts the identical state_dict."""
+    import torch
+    from transformers import (Wav2Vec2Config, Wav2Vec2FeatureExtractor,
+                              Wav2Vec2Model, Wav2Vec2Processor)
+
+    torch.manual_seed(0)
+    model = Wav2Vec2Model(Wav2Vec2Config(
+        feat_extract_norm="group", do_stable_layer_norm=False,
+        attn_implementation="eager", **TINY_KW)).eval()
+    fe = Wav2Vec2FeatureExtractor(feature_size=1, sampling_rate=16000,
+                                  do_normalize=False, padding_value=0.0,
+                                  return_attention_mask=False)
+    Wav2Vec2Model.from_pretrained = staticmethod(lambda *a, **k: model)
+    Wav2Vec2Processor.from_pretrained = staticmethod(lambda *a, **k: fe)
+    return model
+
+
+# --------------------------------------------------------------------------
+
+
+def run_reference(data_path, out_root, epochs, batch_size):
+    sys.path.insert(0, REFERENCE)
+    import torch
+    from config import Config as RefConfig
+    from dataset import AudioDataset
+    from pipeline import DeepfakeDetectionPipeline
+
+    cfg = RefConfig()
+    cfg.device = torch.device("cpu")
+    cfg.data_root = out_root
+    cfg.train_data_path = data_path
+    cfg.test_data_path = data_path
+    cfg.vector_db_path = os.path.join(out_root, "vector_db")
+    cfg.num_epochs = epochs
+    cfg.num_workers = 0
+    cfg.train_batch_size = batch_size
+    cfg.eval_batch_size = batch_size
+    cfg.db_batch_size = 64
+    cfg.top_k = 5
+    cfg.use_batch_norm = False  # main.py:65-66 forces layer_norm
+    cfg.use_layer_norm = True
+
+    pipe = DeepfakeDetectionPipeline(cfg)
+    train_ds = AudioDataset(cfg, is_train=True, split_data=True)
+    val_ds = AudioDataset(cfg, is_train=False, split_data=True)
+    return pipe, train_ds, val_ds
+
+
+def run_ours(data_path, out_root, epochs, batch_size, torch_model):
+    from radad_tpu.config import Config
+    from radad_tpu.data.manifest import load_manifests
+    from radad_tpu.models.encoder import FrozenEncoder
+    from radad_tpu.models.hf_convert import convert_wav2vec2
+    from radad_tpu.models.wav2vec2 import Wav2Vec2Config
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    cfg = Config().replace(
+        train_data_path=data_path, test_data_path=data_path,
+        data_root=out_root, vector_db_path=os.path.join(out_root, "vdb"),
+        num_epochs=epochs, batch_size=batch_size,
+        eval_batch_size=batch_size, db_batch_size=64,
+        # the reference DEFINES early_stopping_patience=5 but never reads
+        # it (config.py:71); we honor it in DetectionPipeline — disable it
+        # here so both sides train the same number of epochs
+        early_stopping_patience=max(epochs, 1000),
+        use_batch_norm=False, use_layer_norm=True)
+    arch = Wav2Vec2Config(**TINY_KW)
+    params = convert_wav2vec2(torch_model.state_dict(), arch)
+    enc = FrozenEncoder(name="wav2vec2", model_name="ab-tiny",
+                        arch_cfg=arch, params=params, pretrained=True,
+                        layers_to_use=(-4, -3, -2, -1))
+    splits = load_manifests(data_path, data_fraction=cfg.data_fraction,
+                            train_split=cfg.train_split,
+                            seed=cfg.random_seed)
+    pipe = DetectionPipeline(cfg, encoder=enc)
+    return pipe, splits
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", default="/tmp/synth400")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--out", default="/tmp/ab_reference")
+    p.add_argument("--probe_batch", type=int, default=32,
+                   help="batch size for the embedding/retrieval parity "
+                        "probes")
+    p.add_argument("--probes_only", action="store_true",
+                   help="run only the exactness probes (1)+(2), skip the "
+                        "training comparison — the mode the slow pytest "
+                        "regression uses")
+    p.add_argument("--record_out",
+                   default=os.path.join("experiments", "ab_reference.json"))
+    args = p.parse_args()
+    os.environ.setdefault("MPLBACKEND", "Agg")
+
+    install_shims()
+    torch_model = patch_transformers()
+    import torch
+    torch.set_num_threads(1)
+
+    ref_root = os.path.join(args.out, "ref")
+    our_root = os.path.join(args.out, "ours")
+    os.makedirs(ref_root, exist_ok=True)
+    ref_pipe, ref_train, ref_val = run_reference(
+        args.data_path, ref_root, args.epochs, args.batch_size)
+    our_pipe, splits = run_ours(
+        args.data_path, our_root, args.epochs, args.batch_size, torch_model)
+
+    record = {"data_path": args.data_path, "epochs": args.epochs,
+              "batch_size": args.batch_size, "tiny_arch": TINY_KW}
+
+    # ---- (1) embedding parity over the full val split --------------------
+    our_val = splits["val"]
+    assert sorted(os.path.basename(p_) for p_ in our_val.paths) == sorted(
+        os.path.basename(p_) for p_ in ref_val.audio_files), \
+        "train/val split membership differs"
+    our_emb = our_pipe.get_embeddings(our_val)
+    by_base = {os.path.basename(p_): i for i, p_ in enumerate(our_val.paths)}
+    diffs, ref_emb_rows, ref_paths_order = [], {}, []
+    bs = args.probe_batch
+    for lo in range(0, len(ref_val.audio_files), bs):
+        paths = ref_val.audio_files[lo:lo + bs]
+        emb = ref_pipe.process_audio_batch(paths, ref_val).numpy()
+        for p_, e in zip(paths, emb):
+            ours = our_emb[by_base[os.path.basename(p_)]]
+            diffs.append(float(np.max(np.abs(e - ours))))
+            ref_emb_rows[os.path.basename(p_)] = e
+        ref_paths_order.extend(paths)
+    scale = float(np.median(np.abs(our_emb))) or 1.0
+    record["embedding_parity"] = {
+        "clips": len(diffs), "max_abs_diff": max(diffs),
+        "median_abs_scale": scale,
+        "max_rel_diff": max(diffs) / scale}
+    print(f"# embeddings: {len(diffs)} clips, max|Δ|={max(diffs):.3e} "
+          f"(scale {scale:.3f})", file=sys.stderr)
+
+    # ---- (2) retrieval parity --------------------------------------------
+    # Build BOTH DBs over the train split, then ask both sides for the
+    # top-5 self-excluded neighbors of one val probe batch.
+    ref_pipe.build_vector_database(ref_train)
+    our_pipe.build_vector_database(splits["train"])
+    probe = ref_paths_order[:args.probe_batch]
+    ref_emb_probe = np.stack(
+        [ref_emb_rows[os.path.basename(p_)] for p_ in probe])
+    _, _, ref_npaths = ref_pipe.retrieve_similar_vectors(
+        torch.from_numpy(ref_emb_probe), query_paths=probe,
+        exclude_self=True, return_info=True)
+
+    our_q = np.stack([our_emb[by_base[os.path.basename(p_)]]
+                      for p_ in probe])
+    excl = {os.path.basename(p_) for p_ in probe}
+    _, our_idx = our_pipe.index.search_overfetch(our_q, 5,
+                                                 exclude_basenames=excl)
+    order_match = set_match = 0
+    for r in range(len(probe)):
+        ref_row = [os.path.basename(p_) for p_ in ref_npaths[r] if p_]
+        our_row = [os.path.basename(our_pipe.index.paths[int(i)])
+                   for i in our_idx[r] if i >= 0]
+        order_match += int(ref_row == our_row)
+        set_match += int(set(ref_row) == set(our_row))
+    record["retrieval_parity"] = {
+        "queries": len(probe), "k": 5,
+        "exact_order_match": order_match / len(probe),
+        "set_match": set_match / len(probe)}
+    print(f"# retrieval: order={order_match}/{len(probe)} "
+          f"set={set_match}/{len(probe)}", file=sys.stderr)
+
+    # ---- (3) trained quality ---------------------------------------------
+    if not args.probes_only:
+        import csv
+
+        def _traj(path, eer_col, auc_col):
+            with open(path) as f:
+                rows = list(csv.DictReader(f))
+            return ([round(float(r[eer_col]), 2) for r in rows],
+                    [round(float(r[auc_col]), 4) for r in rows])
+
+        t0 = time.time()
+        ref_pipe.train(ref_train, ref_val)
+        ref_wall = time.time() - t0
+        with open(os.path.join(ref_root, "summary.json")) as f:
+            ref_summary = json.load(f)
+        eers, aucs = _traj(os.path.join(ref_root, "metrics.csv"),
+                           "eer_percent", "auc")
+        record["reference"] = {
+            "wall_sec": round(ref_wall, 1),
+            "best_by_eer": ref_summary.get("best_by_eer"),
+            "eer_by_epoch": eers, "auc_by_epoch": aucs,
+            "final": {k: ref_summary.get("last_row", {}).get(k) for k in (
+                "eer_percent", "macro_eer_percent", "auc", "val_acc",
+                "val_loss")}}
+
+        t0 = time.time()
+        last = our_pipe.train(splits["train"], splits["val"])
+        our_wall = time.time() - t0
+        eers, aucs = _traj(os.path.join(our_root, "metrics.csv"),
+                           "eer_percent", "auc")
+        record["ours"] = {
+            "wall_sec": round(our_wall, 1),
+            "best_by_eer": our_pipe.writer.best_by_eer,
+            "eer_by_epoch": eers, "auc_by_epoch": aucs,
+            "final": {k: last.get(k) for k in (
+                "eer_percent", "macro_eer_percent", "auc", "val_acc",
+                "val_loss")}}
+
+    out_path = args.record_out
+    existing = []
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            existing = json.load(f)
+    existing.append(record)
+    with open(out_path, "w") as f:
+        json.dump(existing, f, indent=1)
+    print(json.dumps(record, indent=2))
+
+
+if __name__ == "__main__":
+    main()
