@@ -61,6 +61,9 @@ TINY_KW = dict(hidden_size=64, num_hidden_layers=4, num_attention_heads=4,
                conv_kernel=(10, 8, 4, 4), conv_stride=(5, 4, 4, 4),
                num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
                conv_bias=False)
+# WavLM adds the gated relative position bias (tiny bucket table so the
+# 4-layer model still exercises both bucket regimes at T≈99)
+TINY_WAVLM_EXTRA = dict(num_buckets=32, max_bucket_distance=50)
 
 
 # --------------------------------------------------------------------------
@@ -162,29 +165,47 @@ def install_shims():
     _register(ta)
 
 
-def patch_transformers():
+def patch_transformers(encoder="wav2vec2"):
     """from_pretrained → one shared seeded tiny model; returns it so the
     JAX side converts the identical state_dict."""
     import torch
+    import transformers
     from transformers import (Wav2Vec2Config, Wav2Vec2FeatureExtractor,
                               Wav2Vec2Model, Wav2Vec2Processor)
 
     torch.manual_seed(0)
-    model = Wav2Vec2Model(Wav2Vec2Config(
-        feat_extract_norm="group", do_stable_layer_norm=False,
-        attn_implementation="eager", **TINY_KW)).eval()
     fe = Wav2Vec2FeatureExtractor(feature_size=1, sampling_rate=16000,
                                   do_normalize=False, padding_value=0.0,
                                   return_attention_mask=False)
-    Wav2Vec2Model.from_pretrained = staticmethod(lambda *a, **k: model)
-    Wav2Vec2Processor.from_pretrained = staticmethod(lambda *a, **k: fe)
+    if encoder == "wav2vec2":
+        model = Wav2Vec2Model(Wav2Vec2Config(
+            feat_extract_norm="group", do_stable_layer_norm=False,
+            attn_implementation="eager", **TINY_KW)).eval()
+        Wav2Vec2Model.from_pretrained = staticmethod(lambda *a, **k: model)
+        Wav2Vec2Processor.from_pretrained = staticmethod(
+            lambda *a, **k: fe)
+    elif encoder == "wavlm":
+        from transformers import WavLMConfig, WavLMModel
+
+        model = WavLMModel(WavLMConfig(
+            feat_extract_norm="group", do_stable_layer_norm=False,
+            **TINY_KW, **TINY_WAVLM_EXTRA)).eval()
+        WavLMModel.from_pretrained = staticmethod(lambda *a, **k: model)
+        # reference uses AutoFeatureExtractor for WavLM
+        # (feature_extractor.py:131); wavlm-base's real processor is a
+        # Wav2Vec2FeatureExtractor with do_normalize=False
+        transformers.AutoFeatureExtractor.from_pretrained = staticmethod(
+            lambda *a, **k: fe)
+    else:
+        raise ValueError(encoder)
     return model
 
 
 # --------------------------------------------------------------------------
 
 
-def run_reference(data_path, out_root, epochs, batch_size):
+def run_reference(data_path, out_root, epochs, batch_size,
+                  encoder="wav2vec2"):
     sys.path.insert(0, REFERENCE)
     import torch
     from config import Config as RefConfig
@@ -205,6 +226,7 @@ def run_reference(data_path, out_root, epochs, batch_size):
     cfg.top_k = 5
     cfg.use_batch_norm = False  # main.py:65-66 forces layer_norm
     cfg.use_layer_norm = True
+    cfg.feature_extractor_type = encoder
 
     pipe = DeepfakeDetectionPipeline(cfg)
     train_ds = AudioDataset(cfg, is_train=True, split_data=True)
@@ -212,12 +234,15 @@ def run_reference(data_path, out_root, epochs, batch_size):
     return pipe, train_ds, val_ds
 
 
-def run_ours(data_path, out_root, epochs, batch_size, torch_model):
+def run_ours(data_path, out_root, epochs, batch_size, torch_model,
+             encoder="wav2vec2"):
     from radad_tpu.config import Config
     from radad_tpu.data.manifest import load_manifests
     from radad_tpu.models.encoder import FrozenEncoder
-    from radad_tpu.models.hf_convert import convert_wav2vec2
+    from radad_tpu.models.hf_convert import (convert_wav2vec2,
+                                             convert_wavlm)
     from radad_tpu.models.wav2vec2 import Wav2Vec2Config
+    from radad_tpu.models.wavlm import WavLMConfig
     from radad_tpu.train.pipeline import DetectionPipeline
 
     cfg = Config().replace(
@@ -229,10 +254,15 @@ def run_ours(data_path, out_root, epochs, batch_size, torch_model):
         # it (config.py:71); we honor it in DetectionPipeline — disable it
         # here so both sides train the same number of epochs
         early_stopping_patience=max(epochs, 1000),
-        use_batch_norm=False, use_layer_norm=True)
-    arch = Wav2Vec2Config(**TINY_KW)
-    params = convert_wav2vec2(torch_model.state_dict(), arch)
-    enc = FrozenEncoder(name="wav2vec2", model_name="ab-tiny",
+        use_batch_norm=False, use_layer_norm=True,
+        feature_extractor_type=encoder)
+    if encoder == "wav2vec2":
+        arch = Wav2Vec2Config(**TINY_KW)
+        params = convert_wav2vec2(torch_model.state_dict(), arch)
+    else:  # wavlm: last_hidden_state only (feature_extractor.py:160-168)
+        arch = WavLMConfig(**TINY_KW, **TINY_WAVLM_EXTRA)
+        params = convert_wavlm(torch_model.state_dict(), arch)
+    enc = FrozenEncoder(name=encoder, model_name="ab-tiny",
                         arch_cfg=arch, params=params, pretrained=True,
                         layers_to_use=(-4, -3, -2, -1))
     splits = load_manifests(data_path, data_fraction=cfg.data_fraction,
@@ -245,6 +275,8 @@ def run_ours(data_path, out_root, epochs, batch_size, torch_model):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data_path", default="/tmp/synth400")
+    p.add_argument("--encoder", default="wav2vec2",
+                   choices=["wav2vec2", "wavlm"])
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--out", default="/tmp/ab_reference")
@@ -261,7 +293,7 @@ def main():
     os.environ.setdefault("MPLBACKEND", "Agg")
 
     install_shims()
-    torch_model = patch_transformers()
+    torch_model = patch_transformers(args.encoder)
     import torch
     torch.set_num_threads(1)
 
@@ -269,11 +301,14 @@ def main():
     our_root = os.path.join(args.out, "ours")
     os.makedirs(ref_root, exist_ok=True)
     ref_pipe, ref_train, ref_val = run_reference(
-        args.data_path, ref_root, args.epochs, args.batch_size)
+        args.data_path, ref_root, args.epochs, args.batch_size,
+        args.encoder)
     our_pipe, splits = run_ours(
-        args.data_path, our_root, args.epochs, args.batch_size, torch_model)
+        args.data_path, our_root, args.epochs, args.batch_size,
+        torch_model, args.encoder)
 
-    record = {"data_path": args.data_path, "epochs": args.epochs,
+    record = {"data_path": args.data_path, "encoder": args.encoder,
+              "epochs": args.epochs,
               "batch_size": args.batch_size, "tiny_arch": TINY_KW}
 
     # ---- (1) embedding parity over the full val split --------------------
