@@ -316,7 +316,15 @@ def main():
         print("# quantizing SQ8 DB (5.4 GB codes)", file=sys.stderr)
         from radad_tpu.index.quantized import QuantizedIndex
 
-        qidx = QuantizedIndex(d, "L2")
+        # capacity hint: preallocate at 1M rows — the doubling growth's
+        # old+new buffer peak OOMs the chip otherwise. build_accel=False:
+        # the codes3 gather-layout copy is a SECOND 6.4 GB int8 buffer
+        # beside the 5.6 GB codes (plus a full-size build temporary) —
+        # measured OOM at 1M×5376. Capacity mode runs single-buffer, like
+        # FlatIndex(single_buffer=True): the rerank uses the XLA
+        # take-dequant path, whose cost is noise against the O(N) int8
+        # scan at this scale.
+        qidx = QuantizedIndex(d, "L2", capacity=n, build_accel=False)
         chunk = 100_000
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)

@@ -167,13 +167,19 @@ class QuantizedIndex:
     """int8 flat index with the same search contract as FlatIndex."""
 
     def __init__(self, dimension: int, metric: str = "L2", *,
-                 build_accel: bool = True):
+                 build_accel: bool = True, capacity: Optional[int] = None):
         metric = metric.upper()
         if metric not in ("L2", "IP", "COSINE"):
             raise ValueError(f"QuantizedIndex metric must be L2/IP/COSINE, "
                              f"got {metric}")
         self.dimension = int(dimension)
         self.metric = metric
+        # Expected final row count. Growth otherwise doubles capacity via
+        # jnp.pad, which holds old+new buffers simultaneously — at 1M×5376
+        # the 512k→1M codes+codes3 growth step peaks at ~17 GB and OOMs a
+        # 16 GB chip. A capacity hint preallocates once so the peak is the
+        # final footprint (~12 GB), making chunked 1M-row builds fit.
+        self.capacity_hint = int(capacity) if capacity else 0
         # False when mesh-sharded retrieval consumes the canonical arrays
         # (codes3 would be dead HBM on one device).
         self.build_accel = bool(build_accel)
@@ -232,7 +238,7 @@ class QuantizedIndex:
         need = self.n + m
         cap = self.codes.shape[0]
         if need > cap:
-            pad = _round_up(max(need, 2 * cap)) - cap
+            pad = _round_up(max(need, 2 * cap, self.capacity_hint)) - cap
 
             def pad0(a, fill=0):
                 widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
@@ -275,7 +281,7 @@ class QuantizedIndex:
             hi = min(lo + 100_000, n)
             deq = codes[lo:hi].astype(np.float32) * scales[lo:hi, None]
             norm_sq[lo:hi] = np.einsum("md,md->m", deq, deq)
-        cap = _round_up(n)
+        cap = _round_up(max(n, self.capacity_hint))
         pad = cap - n
         self.codes = jnp.asarray(np.pad(codes, ((0, pad), (0, 0))))
         self.scales = jnp.asarray(np.pad(scales, (0, pad)))

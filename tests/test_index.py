@@ -1045,3 +1045,30 @@ def test_ivf_save_load_no_retrain(rng, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="retrain-marker"):
         loaded.add(x[:8], np.zeros(8, np.float32),
                    [f"g{i}.wav" for i in range(8)])
+
+
+def test_sq8_capacity_hint_preallocates(rng):
+    """QuantizedIndex(capacity=N) allocates the final footprint up front —
+    the doubling growth otherwise holds old+new codes+codes3 buffers
+    simultaneously, which OOMs a 16 GB chip at the 512k→1M step of a
+    1M × 5376 build (measured; experiments/bench_million.py)."""
+    from radad_tpu.index.quantized import QuantizedIndex, _round_up
+
+    n, d = 2500, 128
+    x, labels, paths = make_db(rng, n=n, d=d)
+    hint = QuantizedIndex(d, "L2", capacity=n)
+    caps = set()
+    for lo in range(0, n, 500):
+        hi = min(lo + 500, n)
+        hint.add(x[lo:hi], labels[lo:hi], paths[lo:hi])
+        caps.add(hint.codes.shape[0])
+    # one allocation, sized by the hint, never regrown
+    assert caps == {_round_up(n)}
+    # and results identical to the unhinted path
+    plain = QuantizedIndex(d, "L2")
+    plain.add(x, labels, paths)
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    dh, ih = hint.search(q, 5)
+    dp, ip_ = plain.search(q, 5)
+    np.testing.assert_array_equal(ih, ip_)
+    np.testing.assert_allclose(dh, dp, rtol=1e-6)
