@@ -196,6 +196,24 @@ def patch_transformers(encoder="wav2vec2"):
         # Wav2Vec2FeatureExtractor with do_normalize=False
         transformers.AutoFeatureExtractor.from_pretrained = staticmethod(
             lambda *a, **k: fe)
+    elif encoder == "whisper":
+        from transformers import (WhisperConfig, WhisperModel)
+        from transformers import (WhisperFeatureExtractor
+                                  as HFWhisperFeatureExtractor)
+
+        model = WhisperModel(WhisperConfig(
+            d_model=64, encoder_layers=2, decoder_layers=2,
+            encoder_attention_heads=4, decoder_attention_heads=4,
+            encoder_ffn_dim=128, decoder_ffn_dim=128, num_mel_bins=80,
+            max_source_positions=1500)).eval()
+        WhisperModel.from_pretrained = staticmethod(lambda *a, **k: model)
+        # the real HF frontend (mel filters computed locally, no network):
+        # log-mel + (x - max + 8)/4 scaling + 30 s pad, exactly what the
+        # reference's from_pretrained would fetch (feature_extractor.py:70)
+        wfe = HFWhisperFeatureExtractor(feature_size=80,
+                                        sampling_rate=16000)
+        HFWhisperFeatureExtractor.from_pretrained = staticmethod(
+            lambda *a, **k: wfe)
     else:
         raise ValueError(encoder)
     return model
@@ -259,9 +277,17 @@ def run_ours(data_path, out_root, epochs, batch_size, torch_model,
     if encoder == "wav2vec2":
         arch = Wav2Vec2Config(**TINY_KW)
         params = convert_wav2vec2(torch_model.state_dict(), arch)
-    else:  # wavlm: last_hidden_state only (feature_extractor.py:160-168)
+    elif encoder == "wavlm":  # last_hidden_state only (:160-168)
         arch = WavLMConfig(**TINY_KW, **TINY_WAVLM_EXTRA)
         params = convert_wavlm(torch_model.state_dict(), arch)
+    else:  # whisper: encoder-only, 30 s-pad parity mode (:94-113)
+        from radad_tpu.models.hf_convert import convert_whisper_encoder
+        from radad_tpu.models.whisper import WhisperConfig as OurWhisperCfg
+
+        arch = OurWhisperCfg(d_model=64, num_hidden_layers=2,
+                             num_attention_heads=4, ffn_dim=128,
+                             num_mel_bins=80, max_source_positions=1500)
+        params = convert_whisper_encoder(torch_model.state_dict(), arch)
     enc = FrozenEncoder(name=encoder, model_name="ab-tiny",
                         arch_cfg=arch, params=params, pretrained=True,
                         layers_to_use=(-4, -3, -2, -1))
@@ -276,7 +302,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data_path", default="/tmp/synth400")
     p.add_argument("--encoder", default="wav2vec2",
-                   choices=["wav2vec2", "wavlm"])
+                   choices=["wav2vec2", "wavlm", "whisper"])
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--out", default="/tmp/ab_reference")
