@@ -119,8 +119,10 @@ def main():
           f"({n * d * 4 / dt / 1e9:.0f} GB/s effective)", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "ITW-scale flat L2 top-5 retrieval throughput (exact, "
-                  "self-excluded, on-device)",
+        "metric": "ITW-scale flat L2 top-5 retrieval throughput "
+                  "(certified-exact, self-excluded, on-device; round 2's "
+                  "higher number lacked the exactness certificate and is "
+                  "retired — docs/PERFORMANCE.md)",
         "value": round(qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(qps / cpu_qps, 2),
