@@ -306,6 +306,69 @@ def main():
                 print(f"# gather nprobe={nprobe} B={gb}: "
                       f"{dt*1e3:.2f} ms/call -> {gb/dt:,.0f} QPS, "
                       f"recall@{k}={rec:.4f}", file=sys.stderr)
+            # Chunked cell table (ivf_gather_search_chunked): same probed
+            # candidate set, but the gather is compacted to a static chunk
+            # budget — removes the span table's padding (span = p99.9 cell
+            # size vs mean; measured ~77 % padding at this scale).
+            from radad_tpu.index.ivf_gather import (build_chunk_table,
+                                                    default_chunk_budget,
+                                                    ivf_gather_search_chunked)
+
+            chunk_rows_np, cell_chunks_np, counts_np = build_chunk_table(
+                cells_np, n, 4096)
+            print(f"# chunk table: {chunk_rows_np.shape[0]} chunks x "
+                  f"{chunk_rows_np.shape[1]}, max/cell "
+                  f"{cell_chunks_np.shape[1]}, "
+                  f"{chunk_rows_np.nbytes / 1e6:.0f} MB", file=sys.stderr)
+            chunk_rows_d = jnp.asarray(chunk_rows_np)
+            cell_chunks_d = jnp.asarray(cell_chunks_np)
+            for gb, nprobe in ((1, 16), (1, 64), (8, 64)):
+                budget = default_chunk_budget(cell_chunks_np, counts_np,
+                                              nprobe)
+
+                def search_c(qs, xsq, xbf, ids, excl, cents, cr, cc, cl,
+                             nprobe=nprobe, budget=budget):
+                    return ivf_gather_search_chunked(
+                        qs, xbf, xsq, ids, excl, cents, cr, cc, cl, k,
+                        nprobe=nprobe, budget=budget, n_valid=n)
+
+                exg = jnp.full((gb,), -2, jnp.int32)
+
+                def stepc(qs, *cs):
+                    vals, idx = search_c(qs, *cs)
+                    return qs + 0.0 * (
+                        jnp.sum(jnp.where(jnp.isfinite(vals), vals, 0.0))
+                        + 1e-30 * jnp.sum(idx.astype(jnp.float32)))
+
+                constsc = (xsq, xbf, ids, exg, cents, chunk_rows_d,
+                           cell_chunks_d, cells)
+                dt = chain_time(stepc, jnp.asarray(q_full[:gb]),
+                                n=args.reps, consts=constsc)
+                hits = tot = 0
+                srch = jax.jit(search_c)
+                for lo in range(0, len(q_small), gb):
+                    qs = np.pad(q_small[lo:lo + gb],
+                                ((0, max(0, gb - (len(q_small) - lo))),
+                                 (0, 0)))
+                    _, gi = srch(jnp.asarray(qs), *constsc)
+                    got = np.asarray(gi)
+                    for r in range(min(gb, len(q_small) - lo)):
+                        hits += len(set(got[r, :k]) & set(oracle_i[lo + r]))
+                        tot += k
+                rec = hits / tot
+                row = {"metric": (f"1M-row chunked gather-probed IVF "
+                                  f"nprobe={nprobe} B={gb} top-{k}"),
+                       "rows": n, "dim": d, "chunk_budget": budget,
+                       "value": round(dt * 1e3, 3), "unit": "ms/call",
+                       "qps": round(gb / dt, 1),
+                       "recall_at_5_vs_f32_oracle": round(rec, 4)}
+                results.append(row)
+                _persist(row)
+                print(json.dumps(row))
+                print(f"# chunked nprobe={nprobe} B={gb} budget={budget}: "
+                      f"{dt*1e3:.2f} ms/call -> {gb/dt:,.0f} QPS, "
+                      f"recall@{k}={rec:.4f}", file=sys.stderr)
+            del chunk_rows_d, cell_chunks_d, constsc
             # Drop EVERY reference to the 10.7 GB bf16 buffer before the
             # SQ8 section — the consts tuples keep it alive otherwise
             # (measured: SQ8 adds OOM at ~200k rows with it resident).

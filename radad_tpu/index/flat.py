@@ -143,6 +143,12 @@ class FlatIndex:
         # dense inverted-list table + overflow, built by _train_ivf.
         self.ivf_table: Optional[jnp.ndarray] = None  # [nlist, span] i32
         self.ivf_overflow: Optional[jnp.ndarray] = None  # [V] i32
+        # Chunked variant of the same lists (build_chunk_table): kills the
+        # span table's padding on imbalanced cells — preferred by search()
+        # when it touches fewer rows.
+        self.ivf_chunk_rows: Optional[jnp.ndarray] = None  # [NC, 128] i32
+        self.ivf_cell_chunks: Optional[jnp.ndarray] = None  # [nlist, MC] i32
+        self.ivf_counts: Optional[np.ndarray] = None  # [nlist] i32 host
         # Default to the XLA path: measured on v5e, one matmul + lax.top_k
         # runs the flat scan at ~790 GB/s effective — essentially HBM
         # speed-of-light — while the fused Pallas kernel's in-kernel k-select
@@ -349,18 +355,29 @@ class FlatIndex:
     def _restore_ivf(self, centroids: np.ndarray, cells: np.ndarray
                      ) -> None:
         """Adopt a persisted (centroids, cells) pair: pad the assignment
-        to capacity, rebuild the gather table — no k-means."""
-        from radad_tpu.index.ivf_gather import build_cell_table
-
+        to capacity, rebuild the gather tables — no k-means."""
         self.centroids = jnp.asarray(centroids, jnp.float32)
         self.nlist_effective = int(centroids.shape[0])
         cells = np.asarray(cells, np.int32)[: self.n]
         cells_p = np.pad(cells, (0, self._cap - self.n))
         self.cells = jnp.asarray(cells_p)
-        table, _, overflow = build_cell_table(
-            cells_p, self.n, self.nlist_effective)
+        self._build_gather_tables(cells_p, self.nlist_effective)
+
+    def _build_gather_tables(self, cells: np.ndarray, nlist: int) -> None:
+        """Span + chunk inverted-list tables for the gather-probed path
+        (ivf_gather.py): 8-16 MB combined at nlist=4096 — cheap enough to
+        always keep alongside the masked-scan state."""
+        from radad_tpu.index.ivf_gather import (build_cell_table,
+                                                build_chunk_table)
+
+        table, _, overflow = build_cell_table(cells, self.n, nlist)
         self.ivf_table = jnp.asarray(table)
         self.ivf_overflow = jnp.asarray(overflow)
+        chunk_rows, cell_chunks, counts = build_chunk_table(
+            cells, self.n, nlist)
+        self.ivf_chunk_rows = jnp.asarray(chunk_rows)
+        self.ivf_cell_chunks = jnp.asarray(cell_chunks)
+        self.ivf_counts = counts
 
     def _train_ivf(self, vecs: np.ndarray) -> None:
         from radad_tpu.index.ivf import kmeans
@@ -395,14 +412,7 @@ class FlatIndex:
                 assign_j(self.vectors[lo:lo + chunk], cents))
         # padded rows get some cell; masked by n anyway
         self.cells = jnp.asarray(cells)
-        # Dense inverted-list table for the gather-probed low-batch path
-        # (ivf_gather.py): 8-16 MB at nlist=4096 — cheap enough to always
-        # keep alongside the masked-scan state.
-        from radad_tpu.index.ivf_gather import build_cell_table
-
-        table, _, overflow = build_cell_table(cells, self.n, nlist)
-        self.ivf_table = jnp.asarray(table)
-        self.ivf_overflow = jnp.asarray(overflow)
+        self._build_gather_tables(cells, nlist)
 
     # ------------------------------------------------------------------
     def search(self, queries, k: int, *, exclude_ids=None,
@@ -439,17 +449,31 @@ class FlatIndex:
         else:
             exclude_ids = jnp.asarray(exclude_ids, jnp.int32)
         if self.metric == "IVF" and self.ivf_table is not None:
-            from radad_tpu.index.ivf_gather import ivf_gather_search
+            from radad_tpu.index.ivf_gather import (
+                default_chunk_budget, ivf_gather_search,
+                ivf_gather_search_chunked)
 
             np_eff = min(self.nprobe if nprobe is None else int(nprobe),
                          self.ivf_table.shape[0])
-            touched = (q.shape[0] * np_eff * self.ivf_table.shape[1]
-                       + self.ivf_overflow.shape[0])
+            touched_span = (q.shape[0] * np_eff * self.ivf_table.shape[1]
+                            + self.ivf_overflow.shape[0])
+            budget = default_chunk_budget(
+                np.asarray(self.ivf_cell_chunks), self.ivf_counts, np_eff)
+            touched_chunk = (q.shape[0] * budget
+                             * self.ivf_chunk_rows.shape[1])
+            touched = min(touched_span, touched_chunk)
             if gather or (gather is None and 2 * touched < self.n):
-                dists, idx = ivf_gather_search(
-                    q, self.vectors, self.norms_sq, self.ids, exclude_ids,
-                    self.centroids, self.ivf_table, self.ivf_overflow, k,
-                    nprobe=np_eff)
+                if touched_chunk <= touched_span:
+                    dists, idx = ivf_gather_search_chunked(
+                        q, self.vectors, self.norms_sq, self.ids,
+                        exclude_ids, self.centroids, self.ivf_chunk_rows,
+                        self.ivf_cell_chunks, self.cells, k,
+                        nprobe=np_eff, budget=budget, n_valid=self.n)
+                else:
+                    dists, idx = ivf_gather_search(
+                        q, self.vectors, self.norms_sq, self.ids,
+                        exclude_ids, self.centroids, self.ivf_table,
+                        self.ivf_overflow, k, nprobe=np_eff)
                 return np.asarray(dists), np.asarray(idx).astype(np.int64)
         cells = self.cells if self.metric == "IVF" else None
         cents = self.centroids if self.metric == "IVF" else None

@@ -34,6 +34,18 @@ When it pays: the gather path touches ``B * nprobe * span + overflow``
 rows; the masked scan touches all N. ``FlatIndex.search`` auto-selects
 the gather path when the former is well under N (low batch), keeping the
 batch-amortized masked scan for training-sized batches.
+
+Chunked refinement (``build_chunk_table`` / ``ivf_gather_search_chunked``):
+the span table pads every probed cell to the p99.9 cell size — measured
+~77 % padding at 1M rows of clustered data (k-means cells are heavily
+imbalanced: span 1048 vs mean 244). The chunk table packs each cell into
+fixed 128-row chunks (only the LAST chunk of a cell carries padding) and
+a search gathers the probed cells' chunk lists, compacts the valid chunk
+ids to a static ``budget`` in probe-rank order, and gathers exactly those
+chunks. Queries whose probed cells jointly exceed the budget fall back
+in-graph (``lax.cond``) to the dense masked probed scan, so the result
+contract is unconditional: the candidate set is ALWAYS every row of every
+probed cell — the same set as the masked scan — whatever the budget.
 """
 
 from __future__ import annotations
@@ -95,6 +107,63 @@ def build_cell_table(cells: np.ndarray, n_valid: int, nlist: int,
     return table, counts, ovf.astype(np.int32)
 
 
+def build_chunk_table(cells: np.ndarray, n_valid: int, nlist: int,
+                      chunk: int = 128
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Chunked inverted lists: each cell packed into fixed ``chunk``-row
+    chunks.
+
+    → (chunk_rows [n_chunks, chunk] int32 row ids, -1 padded — only each
+       cell's LAST chunk carries padding;
+       cell_chunks [nlist, max_chunks] int32 chunk ids, -1 padded;
+       counts [nlist] int32 true cell sizes).
+
+    vs the span table: per-cell padding is < ``chunk`` rows instead of
+    (span − count) — at 1M clustered rows that is ~20 % vs ~77 % — at the
+    cost of one extra (tiny) indirection through the chunk-id table.
+    """
+    cells = np.asarray(cells)[:n_valid].astype(np.int64)
+    counts = np.bincount(cells, minlength=nlist).astype(np.int32)
+    order = np.argsort(cells, kind="stable").astype(np.int32)
+    starts = np.zeros(nlist + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    nchunks_per = (counts.astype(np.int64) + chunk - 1) // chunk
+    total = max(1, int(nchunks_per.sum()))
+    maxc = max(1, int(nchunks_per.max()) if nlist else 1)
+    chunk_rows = np.full((total, chunk), -1, np.int32)
+    cell_chunks = np.full((nlist, maxc), -1, np.int32)
+    nxt = 0
+    for c in np.nonzero(counts)[0]:
+        rows = order[starts[c]:starts[c + 1]]
+        for j in range(int(nchunks_per[c])):
+            seg = rows[j * chunk:(j + 1) * chunk]
+            chunk_rows[nxt, :len(seg)] = seg
+            cell_chunks[c, j] = nxt
+            nxt += 1
+    return chunk_rows, cell_chunks, counts
+
+
+def default_chunk_budget(cell_chunks: np.ndarray, counts: np.ndarray,
+                         nprobe: int, slack: float = 1.5) -> int:
+    """Static chunk budget for the compacted gather.
+
+    Probed cells skew LARGE (the coarse quantizer sends queries where the
+    data is), so the budget is sized from the COUNT-WEIGHTED mean of
+    per-cell chunk counts — the expected chunks of the cell containing a
+    random data point — times ``nprobe`` times ``slack``. Queries whose
+    probed cells exceed it fall back to the dense masked scan in-graph,
+    so this is a latency knob, not a recall knob.
+    """
+    ncc = (np.asarray(cell_chunks) >= 0).sum(1).astype(np.float64)
+    w = np.asarray(counts, np.float64)
+    tot = int(ncc.sum())
+    if w.sum() <= 0 or tot == 0:
+        return max(8, int(nprobe))
+    wmean = float((w * ncc).sum() / w.sum())
+    b = int(np.ceil(nprobe * wmean * slack))
+    return int(min(max(b, nprobe, 8), tot))
+
+
 @partial(jax.jit, static_argnames=("k", "nprobe", "exclude_mode"))
 def ivf_gather_search(q, vectors, xsq, ids, exclude_ids, centroids,
                       table, overflow, k, *, nprobe,
@@ -147,6 +216,110 @@ def ivf_gather_search(q, vectors, xsq, ids, exclude_ids, centroids,
         return top, jnp.take(ci, pos)
 
     top, idx = jax.lax.map(one, (q, cand, exclude_ids, qsq))
+    valid = jnp.isfinite(top)
+    dists = jnp.where(valid, -top, jnp.inf)
+    idx = jnp.where(valid, idx, -1).astype(jnp.int32)
+    return dists, idx
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe", "budget", "n_valid",
+                                   "exclude_mode"))
+def ivf_gather_search_chunked(q, vectors, xsq, ids, exclude_ids, centroids,
+                              chunk_rows, cell_chunks, cells, k, *, nprobe,
+                              budget, n_valid, exclude_mode="batch"):
+    """Chunk-compacted probed gather search (L2, IVF metric contract).
+
+    → (dists [B, k] f32 squared L2, idx [B, k] int32; invalid slots are
+    (+inf, -1)) — same convention as ``ivf_gather_search``.
+
+    The candidate set is unconditionally every row of every probed cell:
+    within ``budget`` chunks that set is gathered (probe-rank-major chunk
+    order, valid chunks compacted to the front); if ANY query's probed
+    cells exceed the budget the whole batch falls back (``lax.cond``) to
+    the dense masked probed scan over ``cells`` — storage-dtype GEMM plus
+    exact-f32 rescoring of the top max(4k, 32) candidates, flat.py's
+    bf16-storage contract.
+    """
+    b, d = q.shape
+    nlist, maxc = cell_chunks.shape
+    csz = chunk_rows.shape[1]
+    nprobe_eff = min(int(nprobe), nlist)
+    pslots = nprobe_eff * maxc
+    budget_eff = min(int(budget), pslots)
+    if exclude_mode == "batch":
+        row_excl = jnp.any(ids[:, None] == exclude_ids[None, :], axis=1)
+        ids = jnp.where(row_excl, jnp.int32(-3), ids)
+        exclude_ids = jnp.full_like(exclude_ids, -3)
+
+    hi = jax.lax.Precision.HIGHEST
+    qc = (jnp.sum(q * q, -1, keepdims=True)
+          - 2.0 * jax.lax.dot_general(
+              q, centroids, (((1,), (1,)), ((), ())),
+              preferred_element_type=jnp.float32, precision=hi)
+          + jnp.sum(centroids * centroids, -1)[None, :])
+    _, probe = jax.lax.top_k(-qc, nprobe_eff)  # [B, nprobe]
+
+    cand_ch = jnp.take(cell_chunks, probe, axis=0
+                       ).reshape(b, pslots)  # probe-rank-major chunk ids
+    ch_valid = cand_ch >= 0
+    n_valid_ch = jnp.sum(ch_valid, axis=1)  # [B]
+    # Stable valid-first compaction preserving probe-rank order.
+    pos = jnp.arange(pslots, dtype=jnp.int32)[None, :]
+    key = jnp.where(ch_valid, pos, pos + pslots)
+    order = jnp.argsort(key, axis=1)[:, :budget_eff]
+    sel = jnp.take_along_axis(cand_ch, order, axis=1)  # [B, budget]
+    qsq = jnp.einsum("bd,bd->b", q, q, precision=hi)
+    overflowed = jnp.any(n_valid_ch > budget_eff)
+
+    def gather_branch(_):
+        def one(args):
+            qi, si, ei, qsq_i = args
+            rows = jnp.take(chunk_rows, jnp.maximum(si, 0), axis=0)
+            rows = jnp.where(si[:, None] >= 0, rows, -1
+                             ).reshape(budget_eff * csz)  # [C] row ids
+            safe = jnp.maximum(rows, 0)
+            vs = jnp.take(vectors, safe, axis=0).astype(jnp.float32)
+            qx = jax.lax.dot_general(
+                qi[None, :], vs, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi)[0]
+            scores = -(qsq_i - 2.0 * qx + jnp.take(xsq, safe))
+            cid = jnp.take(ids, safe)
+            bad = (rows < 0) | (cid == ei)
+            scores = jnp.where(bad, -jnp.inf, scores)
+            top, p = jax.lax.top_k(scores, k)
+            return top, jnp.take(rows, p)
+
+        return jax.lax.map(one, (q, sel, exclude_ids, qsq))
+
+    def scan_branch(_):
+        # Dense masked probed scan (flat.py's IVF formulation): membership
+        # scatter + per-row gather, storage-dtype GEMM, exact-f32 rescore.
+        member = jnp.zeros((b, nlist), jnp.bool_)
+        member = member.at[
+            jnp.arange(b, dtype=jnp.int32)[:, None], probe].set(True)
+        probe_mask = jnp.take(member, cells, axis=1, mode="clip")  # [B, cap]
+        cap = vectors.shape[0]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+        qm = q.astype(vectors.dtype)
+        qx = jax.lax.dot_general(
+            qm, vectors, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        scores = -(qsq[:, None] - 2.0 * qx + xsq[None, :])
+        bad = (~probe_mask | (row_ids >= n_valid)[None, :]
+               | (ids[None, :] == exclude_ids[:, None]))
+        scores = jnp.where(bad, -jnp.inf, scores)
+        r = min(max(4 * k, 32), cap)
+        cs, ci = jax.lax.top_k(scores, r)  # [B, r]
+        # exact f32 rescore of the candidates (restores stored-row order
+        # after the storage-dtype scan rounding)
+        vs = jnp.take(vectors, ci, axis=0).astype(jnp.float32)  # [B, r, D]
+        qx2 = jnp.einsum("bd,brd->br", q, vs, precision=hi)
+        s2 = -(qsq[:, None] - 2.0 * qx2 + jnp.take(xsq, ci))
+        s2 = jnp.where(jnp.isfinite(cs), s2, -jnp.inf)
+        top, p = jax.lax.top_k(s2, k)
+        return top, jnp.take_along_axis(ci, p, axis=1)
+
+    top, idx = jax.lax.cond(overflowed, scan_branch, gather_branch, None)
     valid = jnp.isfinite(top)
     dists = jnp.where(valid, -top, jnp.inf)
     idx = jnp.where(valid, idx, -1).astype(jnp.int32)

@@ -743,6 +743,90 @@ def test_ivf_gather_overflow_partition(rng):
         assert set(np.asarray(ie)[r]) == set(exact[r])
 
 
+def test_ivf_chunk_table_partition(rng):
+    """build_chunk_table: chunks partition the rows exactly (every valid
+    row id appears once), only each cell's LAST chunk is padded, and the
+    cell→chunk lists are consistent with the counts."""
+    from radad_tpu.index.ivf_gather import build_chunk_table
+
+    n, nlist = 700, 8
+    cells = rng.integers(0, nlist, n).astype(np.int32)
+    chunk_rows, cell_chunks, counts = build_chunk_table(
+        cells, n, nlist, chunk=32)
+    got = chunk_rows[chunk_rows >= 0]
+    np.testing.assert_array_equal(np.sort(got), np.arange(n))
+    assert counts.sum() == n
+    # per-cell: number of chunks == ceil(count/32); rows of cell c's
+    # chunks are exactly the rows assigned to c
+    for c in range(nlist):
+        chs = cell_chunks[c][cell_chunks[c] >= 0]
+        assert len(chs) == -(-counts[c] // 32)
+        rows = chunk_rows[chs]
+        rows = rows[rows >= 0]
+        np.testing.assert_array_equal(np.sort(rows),
+                                      np.nonzero(cells == c)[0])
+        # padding only in the last chunk
+        for ch in chs[:-1]:
+            assert (chunk_rows[ch] >= 0).all()
+
+
+def test_ivf_gather_chunked_matches_masked_scan(rng):
+    """Chunk-compacted gather (ivf_gather_search_chunked) returns the
+    masked scan's neighbors on clustered (imbalanced-cell) data — both
+    within budget AND through the lax.cond dense fallback when a tiny
+    budget forces overflow."""
+    import jax.numpy as jnp
+
+    from radad_tpu.index.ivf_gather import (default_chunk_budget,
+                                            ivf_gather_search_chunked)
+
+    d, n = 48, 2600
+    # heavily imbalanced clusters: half the rows in 2 of 24 clusters
+    pick = np.where(rng.random(n) < 0.5,
+                    rng.integers(0, 2, n), rng.integers(2, 24, n))
+    centers = rng.standard_normal((24, d)).astype(np.float32) * 8
+    x = (centers[pick] + rng.standard_normal((n, d)).astype(np.float32))
+    labels = np.zeros(n, np.float32)
+    paths = [f"f{i}.wav" for i in range(n)]
+    idx = FlatIndex(d, "IVF", nlist=32, nprobe=6, use_pallas=False)
+    idx.add(x, labels, paths)
+    assert idx.ivf_chunk_rows is not None
+    q = (x[:9] + 0.05 * rng.standard_normal((9, d))).astype(np.float32)
+    d_m, i_m = idx.search(q, 5, gather=False)
+
+    budget = default_chunk_budget(
+        np.asarray(idx.ivf_cell_chunks), idx.ivf_counts, 6)
+    args = (jnp.asarray(q), idx.vectors, idx.norms_sq, idx.ids,
+            jnp.full((9,), -2, jnp.int32), idx.centroids,
+            idx.ivf_chunk_rows, idx.ivf_cell_chunks, idx.cells)
+    d_g, i_g = ivf_gather_search_chunked(
+        *args, 5, nprobe=6, budget=budget, n_valid=idx.n)
+    np.testing.assert_array_equal(i_m, np.asarray(i_g))
+    # distances: f32 accumulation-order noise amplified by the squared-L2
+    # cancellation (terms ~3e3 cancelling to ~1e-1 -> ~4e-3 abs)
+    np.testing.assert_allclose(d_m, np.asarray(d_g), rtol=1e-4, atol=1e-2)
+    # budget=1 chunk cannot hold 6 probed cells -> dense fallback branch;
+    # results must be unchanged (the contract is unconditional)
+    d_f, i_f = ivf_gather_search_chunked(
+        *args, 5, nprobe=6, budget=1, n_valid=idx.n)
+    np.testing.assert_array_equal(i_m, np.asarray(i_f))
+    np.testing.assert_allclose(d_m, np.asarray(d_f), rtol=1e-4, atol=1e-2)
+    # batch-global exclusion parity through the chunked path
+    from radad_tpu.data.manifest import file_id
+
+    excl = np.asarray([file_id(p) for p in paths[:9]], np.int32)
+    _, i_ex = ivf_gather_search_chunked(
+        jnp.asarray(x[:9]), idx.vectors, idx.norms_sq, idx.ids,
+        jnp.asarray(excl), idx.centroids, idx.ivf_chunk_rows,
+        idx.ivf_cell_chunks, idx.cells, 3, nprobe=6, budget=budget,
+        n_valid=idx.n)
+    for r in range(9):
+        assert not (set(np.asarray(i_ex)[r]) & set(range(9)))
+    # auto-dispatch still picks a gather formulation at B=1 and matches
+    d_a, i_a = idx.search(q[:1], 5)
+    np.testing.assert_array_equal(i_a, i_m[:1])
+
+
 def test_ivf_kmeans_iters_configurable(rng):
     """kmeans_iters flows from config through FlatIndex to training;
     nlist defaults to the reference's 4096 clamped to the train-set size
