@@ -370,15 +370,17 @@ def main():
     probe = ref_paths_order[:args.probe_batch]
     ref_emb_probe = np.stack(
         [ref_emb_rows[os.path.basename(p_)] for p_ in probe])
-    _, _, ref_npaths = ref_pipe.retrieve_similar_vectors(
+    _, _, ref_npaths, ref_ndists = ref_pipe.retrieve_similar_vectors(
         torch.from_numpy(ref_emb_probe), query_paths=probe,
-        exclude_self=True, return_info=True)
+        exclude_self=True, return_info=True, return_distances=True)
 
     our_q = np.stack([our_emb[by_base[os.path.basename(p_)]]
                       for p_ in probe])
     excl = {os.path.basename(p_) for p_ in probe}
-    _, our_idx = our_pipe.index.search_overfetch(our_q, 5,
-                                                 exclude_basenames=excl)
+    # 6 neighbors: the 5→6 gap is the near-tie diagnostic denominator
+    our_d6, our_idx6 = our_pipe.index.search_overfetch(
+        our_q, 6, exclude_basenames=excl)
+    our_idx = our_idx6[:, :5]
     order_match = set_match = 0
     for r in range(len(probe)):
         ref_row = [os.path.basename(p_) for p_ in ref_npaths[r] if p_]
@@ -386,10 +388,35 @@ def main():
                    for i in our_idx[r] if i >= 0]
         order_match += int(ref_row == our_row)
         set_match += int(set(ref_row) == set(our_row))
+    # Near-tie diagnostic: id-level matches are meaningless when the
+    # 5th→6th neighbor gap sits at the cross-implementation noise floor
+    # (e.g. whisper's 30 s zero-pad with random tiny weights makes every
+    # clip embedding nearly identical). Compare the distance SPECTRA:
+    # if the two top-5 lists carry the same distances to within the
+    # embedding-parity bound while the 5→6 gap is no larger, the
+    # implementations agree and the ids are tie lottery.
+    ref_d = np.asarray(ref_ndists, np.float64)
+    spec_dev, gaps, d5s = [], [], []
+    for r in range(len(probe)):
+        rd = np.sort(ref_d[r][np.isfinite(ref_d[r])])[:5]
+        od = np.sort(np.asarray(our_d6[r][:5], np.float64))
+        m = min(len(rd), len(od))
+        if m:
+            spec_dev.append(float(np.max(np.abs(rd[:m] - od[:m]))))
+            d5s.append(float(od[m - 1]))
+        if np.isfinite(our_d6[r][5]) if our_d6.shape[1] > 5 else False:
+            gaps.append(float(our_d6[r][5] - our_d6[r][4]))
     record["retrieval_parity"] = {
         "queries": len(probe), "k": 5,
         "exact_order_match": order_match / len(probe),
-        "set_match": set_match / len(probe)}
+        "set_match": set_match / len(probe),
+        "near_tie_diagnostic": {
+            "top5_spectrum_max_dev": max(spec_dev) if spec_dev else None,
+            "gap_5_to_6_median": (float(np.median(gaps))
+                                  if gaps else None),
+            "d5_median": float(np.median(d5s)) if d5s else None,
+            "note": ("id-level matches are tie-bound when "
+                     "gap_5_to_6_median <~ top5_spectrum_max_dev")}}
     print(f"# retrieval: order={order_match}/{len(probe)} "
           f"set={set_match}/{len(probe)}", file=sys.stderr)
 
