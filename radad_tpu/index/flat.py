@@ -373,8 +373,16 @@ class FlatIndex:
         table, _, overflow = build_cell_table(cells, self.n, nlist)
         self.ivf_table = jnp.asarray(table)
         self.ivf_overflow = jnp.asarray(overflow)
+        # Chunk width tracks the mean cell size (pow2 in [8, 128]): 128 at
+        # 1M/4096 (mean 244), 8 on small/test DBs where a fixed 128 would
+        # make budget*chunk exceed the gather-dispatch gate (2*touched<N)
+        # and silently force every query onto the O(N) masked scan.
+        mean_cell = max(1.0, self.n / max(1, nlist))
+        chunk = 8
+        while chunk * 2 <= min(128, mean_cell):
+            chunk *= 2
         chunk_rows, cell_chunks, counts = build_chunk_table(
-            cells, self.n, nlist)
+            cells, self.n, nlist, chunk=chunk)
         self.ivf_chunk_rows = jnp.asarray(chunk_rows)
         self.ivf_cell_chunks = jnp.asarray(cell_chunks)
         self.ivf_counts = counts

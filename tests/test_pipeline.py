@@ -493,6 +493,28 @@ def test_retrieve_ivf_gather_matches_masked_probe():
             np.asarray(nl_g),
             np.where(np.asarray(i_g) >= 0,
                      np.asarray(labels)[safe], 0.0))
+        # chunked variant (the predict graph's layout): same contract
+        from radad_tpu.index.ivf_gather import (build_chunk_table,
+                                                default_chunk_budget)
+        from radad_tpu.train.pipeline import (
+            retrieve_on_device_ivf_gather_chunked)
+
+        chunk_rows, cell_chunks, ccounts = build_chunk_table(
+            cells, n, nlist, chunk=32)
+        budget = default_chunk_budget(cell_chunks, ccounts, nprobe)
+        nb_c, nl_c, d_c, i_c = retrieve_on_device_ivf_gather_chunked(
+            tpp, vectors, xsq, labels, ids, excl, cents,
+            jnp.asarray(chunk_rows), jnp.asarray(cell_chunks),
+            jnp.asarray(cells), k=k, nprobe=nprobe, budget=budget,
+            n_valid=n, exclude_mode=mode)
+        np.testing.assert_array_equal(np.asarray(i_m), np.asarray(i_c))
+        np.testing.assert_allclose(np.asarray(d_m), np.asarray(d_c),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(
+            np.asarray(nl_c),
+            np.where(np.asarray(i_c) >= 0,
+                     np.asarray(labels)[np.maximum(np.asarray(i_c), 0)],
+                     0.0))
 
 
 def test_predict_uses_ivf_gather_path(synthetic_dataset, tiny_encoder,
@@ -522,13 +544,13 @@ def test_predict_uses_ivf_gather_path(synthetic_dataset, tiny_encoder,
     assert pipe.index.ivf_table is not None
 
     calls = {"n": 0}
-    real = P.retrieve_on_device_ivf_gather
+    real = P.retrieve_on_device_ivf_gather_chunked
 
     def spy(*a, **kw):
         calls["n"] += 1
         return real(*a, **kw)
 
-    monkeypatch.setattr(P, "retrieve_on_device_ivf_gather", spy)
+    monkeypatch.setattr(P, "retrieve_on_device_ivf_gather_chunked", spy)
     paths = list(splits["val"].paths[:2])
     single = pipe.predict(paths[0])
     assert calls["n"] > 0, "predict did not take the gather-probed path"
