@@ -256,6 +256,188 @@ def sharded_retrieve_sq8(
     return ShardedRetrieval(*out)
 
 
+def sharded_retrieve_ivf_gather(
+    mesh: Mesh,
+    q: jnp.ndarray,  # [B, D] — sharded over 'data'
+    vectors: jnp.ndarray,  # [cap, D] — sharded over 'index' (rows)
+    labels: jnp.ndarray,  # [cap]
+    ids: jnp.ndarray,  # [cap]; -1 on padding rows
+    exclude_ids: jnp.ndarray,  # [B] — sharded over 'data'
+    centroids: jnp.ndarray,  # [nlist, D] — replicated
+    cells: jnp.ndarray,  # [cap] i32 — sharded over 'index'
+    chunk_rows: jnp.ndarray,  # [S*NC, w] i32 LOCAL row ids — 'index'
+    cell_chunks: jnp.ndarray,  # [S*nlist, MC] i32 local chunk ids — 'index'
+    n_valid_shard: jnp.ndarray,  # [S] i32 valid rows per shard — 'index'
+    *,
+    k: int,
+    nprobe: int,
+    budget: int,
+    metric: str = "L2",
+) -> ShardedRetrieval:
+    """Gather-probed IVF over the sharded database — the multi-chip form of
+    ``index/ivf_gather.py::ivf_gather_search_chunked`` (low-batch serving:
+    each shard gathers only its probed cells' chunks instead of scanning
+    its whole HBM slice, then the same ONE-all_gather merge).
+
+    Exactness contract: identical to the masked sharded IVF
+    (``sharded_retrieve`` with centroids/cells) — every shard's candidate
+    set is unconditionally ALL its local rows of the query's ``nprobe``
+    probed cells. Per-shard chunk tables hold only valid local rows, the
+    probe-cell selection uses the replicated centroids (same cell set on
+    every shard), and a shard whose probed chunks exceed ``budget`` for
+    ANY local query falls back in-graph (``lax.cond``) to its dense
+    masked probed scan. Merge of per-shard exact top-k cannot drop a
+    global top-k member.
+    """
+    if metric != "L2":
+        raise ValueError("gather-probed IVF is an L2 path (IVF contract)")
+    nlist = centroids.shape[0]
+    nprobe_eff = min(int(nprobe), nlist)
+
+    def shard_fn(q_loc, v_loc, lab_loc, ids_loc, cells_loc, cr_loc, cc_loc,
+                 nv_loc, excl_loc):
+        rows_per_shard = v_loc.shape[0]
+        b = q_loc.shape[0]
+        w = cr_loc.shape[1]
+        maxc = cc_loc.shape[1]
+        shard_i = jax.lax.axis_index(INDEX_AXIS)
+        n_valid = nv_loc[0]
+        hi = jax.lax.Precision.HIGHEST
+
+        # Reference parity: batch-global exclusion (pipeline.py:461-463).
+        excl_all = jax.lax.all_gather(excl_loc, DATA_AXIS).reshape(-1)
+        row_excl = jnp.any(ids_loc[:, None] == excl_all[None, :], axis=1)
+
+        qsq = jnp.einsum("bd,bd->b", q_loc, q_loc, precision=hi)
+        qc = (qsq[:, None]
+              - 2.0 * jax.lax.dot_general(
+                  q_loc, centroids, (((1,), (1,)), ((), ())),
+                  preferred_element_type=jnp.float32, precision=hi)
+              + jnp.sum(centroids ** 2, -1)[None, :])
+        _, probe = jax.lax.top_k(-qc, nprobe_eff)  # [b, nprobe]
+
+        cand_ch = jnp.take(cc_loc, probe, axis=0).reshape(
+            b, nprobe_eff * maxc)
+        ch_valid = cand_ch >= 0
+        pslots = nprobe_eff * maxc
+        budget_eff = min(int(budget), pslots)
+        pos = jnp.arange(pslots, dtype=jnp.int32)[None, :]
+        key = jnp.where(ch_valid, pos, pos + pslots)
+        order = jnp.argsort(key, axis=1)[:, :budget_eff]
+        sel = jnp.take_along_axis(cand_ch, order, axis=1)  # [b, budget]
+        overflowed = jnp.any(jnp.sum(ch_valid, axis=1) > budget_eff)
+
+        def gather_branch(_):
+            def one(args):
+                qi, si, qsq_i = args
+                rows = jnp.take(cr_loc, jnp.maximum(si, 0), axis=0)
+                rows = jnp.where(si[:, None] >= 0, rows, -1
+                                 ).reshape(budget_eff * w)
+                safe = jnp.maximum(rows, 0)
+                vs = jnp.take(v_loc, safe, axis=0)
+                qx = jax.lax.dot_general(
+                    qi[None, :], vs, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=hi)[0]
+                xsq = jnp.einsum("cd,cd->c", vs, vs, precision=hi)
+                scores = -(qsq_i - 2.0 * qx + xsq)
+                bad = (rows < 0) | jnp.take(row_excl, safe)
+                scores = jnp.where(bad, -jnp.inf, scores)
+                top, p = jax.lax.top_k(scores, k)
+                return top, jnp.where(jnp.isfinite(top),
+                                      jnp.take(rows, p), -1)
+
+            return jax.lax.map(one, (q_loc, sel, qsq))
+
+        def scan_branch(_):
+            # Dense masked probed scan over the local shard (the masked
+            # sharded-IVF formulation): membership scatter + gather.
+            scores = _local_scores(q_loc, v_loc, metric)
+            member = jnp.zeros((b, nlist), jnp.bool_)
+            member = member.at[
+                jnp.arange(b, dtype=jnp.int32)[:, None], probe].set(True)
+            probe_mask = jnp.take(member, cells_loc, axis=1, mode="clip")
+            row_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (rows_per_shard, 1), 0)[:, 0]
+            bad = (row_excl | (row_ids >= n_valid))[None, :] | ~probe_mask
+            scores = jnp.where(bad, -jnp.inf, scores)
+            vals, loc_idx = jax.lax.top_k(scores, k)
+            return vals, jnp.where(jnp.isfinite(vals), loc_idx, -1)
+
+        vals, loc_idx = jax.lax.cond(overflowed, scan_branch,
+                                     gather_branch, None)
+        safe_loc = jnp.maximum(loc_idx, 0)
+        gidx = jnp.where(loc_idx >= 0,
+                         shard_i * rows_per_shard + loc_idx, -1)
+        cand_vecs = jnp.take(v_loc, safe_loc.reshape(-1), axis=0)
+        cand_vecs = cand_vecs.reshape(loc_idx.shape + (v_loc.shape[-1],))
+        cand_vecs = jnp.where((gidx >= 0)[..., None], cand_vecs, 0.0)
+        cand_labs = jnp.where(
+            gidx >= 0, jnp.take(lab_loc, safe_loc.reshape(-1)
+                                ).reshape(loc_idx.shape), 0.0)
+        return _merge_shard_candidates(vals, gidx, cand_vecs, cand_labs,
+                                       k, metric)
+
+    out = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(INDEX_AXIS, None), P(INDEX_AXIS),
+                  P(INDEX_AXIS), P(INDEX_AXIS), P(INDEX_AXIS, None),
+                  P(INDEX_AXIS, None), P(INDEX_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None),
+                   P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        check_vma=False,
+    )(q, vectors, labels, ids, cells, chunk_rows, cell_chunks,
+      n_valid_shard, exclude_ids)
+    return ShardedRetrieval(*out)
+
+
+def build_sharded_chunk_tables(cells: np.ndarray, n_valid: int, nlist: int,
+                               num_shards: int
+                               ) -> Tuple[np.ndarray, np.ndarray,
+                                          np.ndarray, list]:
+    """Per-shard chunk tables for ``sharded_retrieve_ivf_gather``.
+
+    ``cells`` is the CAPACITY-padded assignment (rows beyond ``n_valid``
+    are padding and excluded from every table — padding lives only in the
+    tail shards since rows pad at the end). Returns host arrays shaped for
+    `'index'`-axis sharding: chunk_rows [S*NC, w] (LOCAL row ids),
+    cell_chunks [S*nlist, MC], n_valid_shard [S], plus the per-shard
+    (cell_chunks, counts) pairs for budget sizing at query time.
+    """
+    from radad_tpu.index.ivf_gather import build_chunk_table
+
+    cells = np.asarray(cells)
+    s = int(num_shards)
+    rps = cells.shape[0] // s
+    # Common chunk width from the mean LOCAL cell size (pow2 in [8, 128]),
+    # mirroring FlatIndex._build_gather_tables.
+    mean_cell = max(1.0, n_valid / max(1, s * nlist))
+    w = 8
+    while w * 2 <= min(128, mean_cell):
+        w *= 2
+    per = []
+    for i in range(s):
+        lo = i * rps
+        vn = int(np.clip(n_valid - lo, 0, rps))
+        per.append(build_chunk_table(cells[lo:lo + rps], vn, nlist,
+                                     chunk=w))
+    nc = max(cr.shape[0] for cr, _, _ in per)
+    mc = max(cc.shape[1] for _, cc, _ in per)
+    chunk_rows = np.full((s * nc, w), -1, np.int32)
+    cell_chunks = np.full((s * nlist, mc), -1, np.int32)
+    budget_stats = []
+    for i, (cr, cc, cnt) in enumerate(per):
+        chunk_rows[i * nc:i * nc + cr.shape[0]] = cr
+        # chunk ids are LOCAL to the shard's [NC, w] slice
+        cc_pad = np.full((nlist, mc), -1, np.int32)
+        cc_pad[:, :cc.shape[1]] = cc
+        cell_chunks[i * nlist:(i + 1) * nlist] = cc_pad
+        budget_stats.append((cc_pad, cnt))
+    n_valid_shard = np.array(
+        [int(np.clip(n_valid - i * rps, 0, rps)) for i in range(s)],
+        np.int32)
+    return chunk_rows, cell_chunks, n_valid_shard, budget_stats
+
+
 class ShardedIndex:
     """Host wrapper: pads DB rows to a multiple of the 'index' axis size and
     places each array with its mesh sharding. Drop-in provider of the
@@ -271,6 +453,13 @@ class ShardedIndex:
         self.ids = None
         self.row_valid = None
         self.paths: list = []
+        # gather-probed IVF state (build_ivf)
+        self.centroids = None
+        self.cells = None
+        self.chunk_rows = None
+        self.cell_chunks = None
+        self.n_valid_shard = None
+        self._budget_stats = None
 
     @property
     def num_shards(self) -> int:
@@ -310,3 +499,50 @@ class ShardedIndex:
             self.mesh, q, self.vectors, self.labels, self.ids,
             self.row_valid, exclude_ids, k=k,
             metric=self.metric)
+
+    def build_ivf(self, centroids: np.ndarray, cells: np.ndarray) -> None:
+        """Attach IVF state for the gather-probed sharded path: the
+        replicated coarse quantizer plus per-shard chunk tables over the
+        capacity-padded cell assignment (``cells`` covers valid rows; it
+        is padded here to match ``build()``'s row padding)."""
+        if self.vectors is None:
+            raise RuntimeError("build() before build_ivf()")
+        cap = self.vectors.shape[0]
+        nlist = int(np.asarray(centroids).shape[0])
+        cells_p = np.zeros((cap,), np.int32)
+        cells_p[: self.n] = np.asarray(cells, np.int32)[: self.n]
+        chunk_rows, cell_chunks, n_valid_shard, stats = (
+            build_sharded_chunk_tables(cells_p, self.n, nlist,
+                                       self.num_shards))
+        rep = NamedSharding(self.mesh, P())
+        row_shard = NamedSharding(self.mesh, P(INDEX_AXIS, None))
+        vec_shard = NamedSharding(self.mesh, P(INDEX_AXIS))
+        self.centroids = jax.device_put(
+            np.asarray(centroids, np.float32), rep)
+        self.cells = jax.device_put(cells_p, vec_shard)
+        self.chunk_rows = jax.device_put(chunk_rows, row_shard)
+        self.cell_chunks = jax.device_put(cell_chunks, row_shard)
+        self.n_valid_shard = jax.device_put(n_valid_shard, vec_shard)
+        self._budget_stats = stats
+
+    def gather_budget(self, nprobe: int) -> int:
+        """Static chunk budget = max over shards of the count-weighted
+        statistic (ivf_gather.default_chunk_budget) — every shard must
+        share one shape."""
+        from radad_tpu.index.ivf_gather import default_chunk_budget
+
+        return max(default_chunk_budget(cc, cnt, nprobe)
+                   for cc, cnt in self._budget_stats)
+
+    def retrieve_gather(self, q: jnp.ndarray, exclude_ids: jnp.ndarray,
+                        k: int, nprobe: int) -> ShardedRetrieval:
+        """Gather-probed IVF retrieval (low-batch serving): each shard
+        touches only its probed cells' chunks. Same candidate set as the
+        masked sharded IVF path by construction."""
+        if self.chunk_rows is None:
+            raise RuntimeError("build_ivf() before retrieve_gather()")
+        return sharded_retrieve_ivf_gather(
+            self.mesh, q, self.vectors, self.labels, self.ids,
+            exclude_ids, self.centroids, self.cells, self.chunk_rows,
+            self.cell_chunks, self.n_valid_shard, k=k, nprobe=nprobe,
+            budget=self.gather_budget(nprobe), metric=self.metric)

@@ -645,3 +645,60 @@ def test_sharded_million_rows(mesh24):
         assert set(i_got[row]) == set(best_i[row]), row
     np.testing.assert_allclose(np.sort(d_got, 1), np.sort(best_d, 1),
                                rtol=1e-3, atol=1e-2)
+
+
+def test_sharded_ivf_gather_matches_masked(mesh24, rng):
+    """Gather-probed IVF × mesh (the multi-chip low-batch serving path):
+    per-shard chunked gather returns the same neighbors as the masked
+    sharded IVF scan AND the single-chip masked-scan IVF — identical
+    candidate set by construction (replicated centroids → same probed
+    cells; per-shard chunk tables hold every valid local row of each
+    cell). Also pins the in-graph over-budget fallback (budget=1 forces
+    every shard onto its dense masked scan branch)."""
+    from radad_tpu.index.flat import FlatIndex
+    from radad_tpu.parallel.sharded_index import (
+        ShardedIndex, sharded_retrieve_ivf_gather)
+
+    n, d, b, k, nprobe = 500, 32, 8, 5, 8
+    # clustered rows: the imbalanced-cell regime the chunk tables exist for
+    centers = rng.standard_normal((6, d)).astype(np.float32) * 4.0
+    vecs = (centers[rng.integers(0, 6, n)]
+            + rng.standard_normal((n, d)).astype(np.float32))
+    labels = (rng.random(n) > 0.5).astype(np.float32)
+    paths = [f"f{i}.wav" for i in range(n)]
+    ids = (np.arange(n) % 97).astype(np.int32)
+    q = (centers[rng.integers(0, 6, b)]
+         + rng.standard_normal((b, d)).astype(np.float32))
+    excl = (np.arange(b) % 97).astype(np.int32)
+
+    ivf = FlatIndex(d, "IVF", nlist=16, nprobe=nprobe, use_pallas=False)
+    ivf.add(vecs, labels, paths, ids=ids)
+    d_ref, i_ref = ivf.search(q, k, exclude_ids=excl)
+
+    sidx = ShardedIndex(mesh24, d, metric="L2")
+    sidx.build(vecs, labels, ids, paths)
+    sidx.build_ivf(np.asarray(ivf.centroids), np.asarray(ivf.cells))
+    ret = sidx.retrieve_gather(jnp.asarray(q), jnp.asarray(excl), k, nprobe)
+    i_got = np.asarray(ret.indices)
+    d_got = np.asarray(ret.dists)
+    for r in range(b):
+        assert set(i_got[r]) == set(i_ref[r]), (r, i_got[r], i_ref[r])
+    np.testing.assert_allclose(np.sort(d_got, 1), np.sort(d_ref, 1),
+                               rtol=1e-4, atol=1e-3)
+    # exclusion actually applied: no returned row carries an excluded id
+    ids_got = np.where(i_got >= 0, ids[np.maximum(i_got, 0)], -1)
+    assert not np.isin(ids_got[ids_got >= 0], excl).any()
+    # labels ride the merge correctly
+    lab_got = np.asarray(ret.labels)
+    np.testing.assert_array_equal(
+        lab_got, np.where(i_got >= 0, labels[np.maximum(i_got, 0)], 0.0))
+
+    # budget=1 → every shard overflows → in-graph dense masked fallback
+    ret_fb = sharded_retrieve_ivf_gather(
+        mesh24, jnp.asarray(q), sidx.vectors, sidx.labels, sidx.ids,
+        jnp.asarray(excl), sidx.centroids, sidx.cells, sidx.chunk_rows,
+        sidx.cell_chunks, sidx.n_valid_shard, k=k, nprobe=nprobe,
+        budget=1, metric="L2")
+    i_fb = np.asarray(ret_fb.indices)
+    for r in range(b):
+        assert set(i_fb[r]) == set(i_ref[r]), r
