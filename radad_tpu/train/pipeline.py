@@ -570,7 +570,20 @@ class DetectionPipeline:
         ivf_sig = None
         if (not self.is_quantized and self.index.metric == "IVF"
                 and getattr(self.index, "ivf_chunk_rows", None) is not None):
-            ivf_sig = (self.index.nprobe, self.index.ivf_chunk_rows.shape,
+            from radad_tpu.index.ivf_gather import default_chunk_budget
+
+            # budget joins the key too: a retrain can shift cell balance
+            # (and hence the count-weighted budget) without changing
+            # table shapes — a stale baked budget is only a latency
+            # drift (candidate completeness is unconditional), but the
+            # key makes it impossible.
+            nprobe = min(self.index.nprobe,
+                         self.index.ivf_cell_chunks.shape[0])
+            budget = default_chunk_budget(
+                np.asarray(self.index.ivf_cell_chunks),
+                self.index.ivf_counts, nprobe)
+            ivf_sig = (self.index.nprobe, budget,
+                       self.index.ivf_chunk_rows.shape,
                        self.index.ivf_cell_chunks.shape)
         key = (metric, n_valid, k, exclude_mode, ivf_sig)
         fn = self._predict_cache.get(key)
