@@ -88,7 +88,7 @@ def gather_rows(x: jnp.ndarray, idx: jnp.ndarray, *,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(m_pad // _CHUNK,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # x stays in HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # x stays in HBM
         out_specs=pl.BlockSpec((_CHUNK, sub, 128), lambda i, idx_ref: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((_CHUNK,))],

@@ -118,7 +118,7 @@ def exact_dot(q3: jnp.ndarray, x3: jnp.ndarray, idx: jnp.ndarray, *,
         in_specs=[
             pl.BlockSpec((qb, sub, lanes), lambda i, idx_ref: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x3 stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x3 stays in HBM
         ],
         out_specs=pl.BlockSpec((qb, r_pad, lanes),
                                lambda i, idx_ref: (i, 0, 0),
