@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top_k", type=int, default=None)
     p.add_argument("--index_type", type=str, default=None,
                    help="L2, IP, COSINE, or IVF")
+    p.add_argument("--ivf_balance", type=float, default=None,
+                   help="IVF centroid split-refinement strength (0 = plain "
+                        "Lloyd = FAISS parity; ~1.0 balances cell sizes "
+                        "for lower gather-probed serving latency)")
     p.add_argument("--weights_dir", type=str, default=None,
                    help="Directory with local HF checkpoints for encoders")
     p.add_argument("--seed", type=int, default=None)
@@ -108,6 +112,8 @@ def config_from_args(args) -> "Config":
         over["top_k"] = args.top_k
     if args.index_type is not None:
         over["vector_db_index_type"] = args.index_type.upper()
+    if args.ivf_balance is not None:
+        over["vector_db_ivf_balance"] = args.ivf_balance
     if args.seed is not None:
         over["random_seed"] = args.seed
     if args.max_duration is not None and args.mode != "predict":

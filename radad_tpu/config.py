@@ -98,6 +98,11 @@ class Config:
     # ClusteringParameters.niter default = 25, which the reference's
     # IndexIVFFlat.train inherits, vector_database.py:122-130).
     vector_db_kmeans_iters: int = 25
+    # Split-refinement strength for IVF centroid training (0.0 = plain
+    # Lloyd = FAISS parity; ~1.0 balances cell sizes, which the
+    # gather-probed serving path's latency scales with — see
+    # index.ivf.kmeans and docs/PERFORMANCE.md).
+    vector_db_ivf_balance: float = 0.0
     vector_add_batch_size: int = 10000
     top_k: int = 5
 

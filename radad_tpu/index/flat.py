@@ -84,6 +84,7 @@ class FlatIndex:
     def __init__(self, dimension: int, metric: str = "L2", *,
                  nlist: int = 0, nprobe: int = 32,
                  kmeans_iters: int = 25,
+                 ivf_balance: float = 0.0,
                  use_pallas: Optional[bool] = None,
                  use_float16: bool = False,
                  single_buffer: bool = False,
@@ -116,6 +117,12 @@ class FlatIndex:
         # ClusteringParameters.niter, which the reference's IndexIVFFlat
         # training inherits (vector_database.py:122-130).
         self.kmeans_iters = int(kmeans_iters)
+        # Split-refinement strength for centroid training (0 = plain
+        # Lloyd = FAISS parity). Balances Voronoi cell sizes, which the
+        # gather-probed serving path's latency scales with; the
+        # assignment/probe rule stays plain nearest-centroid either way
+        # (see index.ivf.kmeans).
+        self.ivf_balance = float(ivf_balance)
         # Upload granularity for incremental adds — the reference's
         # config.vector_add_batch_size / add_vectors_batch chunking
         # (vector_database.py:108-151).
@@ -407,7 +414,8 @@ class FlatIndex:
             nlist = max(1, len(train))
         self.nlist_effective = nlist
         cents, _ = kmeans(jnp.asarray(train), nlist,
-                          iters=self.kmeans_iters, seed=0)
+                          iters=self.kmeans_iters, seed=0,
+                          balance=self.ivf_balance)
         self.centroids = cents
         # Chunked assignment: the [N, nlist] distance matrix is 16 GB at
         # 1M rows x nlist=4096 — never materialize it whole.

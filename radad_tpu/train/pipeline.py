@@ -359,6 +359,7 @@ class DetectionPipeline:
             self.index = FlatIndex(
                 self.tpp_dim, metric, nlist=config.vector_db_nlist,
                 kmeans_iters=config.vector_db_kmeans_iters,
+                ivf_balance=config.vector_db_ivf_balance,
                 nprobe=config.vector_db_nprobe, use_pallas=use_pallas,
                 use_float16=config.use_float16,
                 add_batch_size=config.vector_add_batch_size,

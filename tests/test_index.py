@@ -670,6 +670,61 @@ def test_ivf_clustered_recall_nprobe_sweep(rng):
     assert recalls[1] <= recalls[4] + 1e-9 <= recalls[16] + 2e-9, recalls
 
 
+def test_ivf_balanced_kmeans_cells(rng):
+    """``ivf_balance > 0`` runs split-refinement after Lloyd
+    (index.ivf.kmeans: largest cells' centroids duplicated ±eps, smallest
+    retired, re-Lloyd) so that plain nearest-centroid assignment lands in
+    materially flatter cells. The gather-probed serving path's latency
+    scales with the sizes of the PROBED cells — i.e. the count-weighted
+    mean cell size E[|cell(x)|] = Σc²/n — so this is a serving-latency
+    knob. Contract under test: (a) the probe/assignment rule is unchanged
+    (plain argmin — balance moves centroid POSITIONS only), (b) the skew
+    metric drops materially on imbalanced clustered data, (c) recall at
+    moderate nprobe stays in band, (d) the default is 0.0 = plain Lloyd
+    = FAISS parity."""
+    d, k = 48, 5
+    sizes = [1600, 800, 400, 200] + [100] * 8  # heavy-tailed clusters
+    centers = rng.standard_normal((len(sizes), d)).astype(np.float32) * 10
+    x = np.concatenate([
+        c + rng.standard_normal((s, d)).astype(np.float32)
+        for c, s in zip(centers, sizes)])
+    n = len(x)
+    labels = np.zeros(n, np.float32)
+    paths = [f"f{i}.wav" for i in range(n)]
+    qc = centers[rng.integers(0, len(sizes), 25)]
+    q = (qc + rng.standard_normal((25, d))).astype(np.float32)
+
+    flat = FlatIndex(d, "L2", use_pallas=False)
+    flat.add(x, labels, paths)
+    _, exact = flat.search(q, k)
+
+    def weighted_mean_cell(ivf):
+        c = np.asarray(ivf.ivf_counts, np.float64)
+        return float((c * c).sum() / max(1.0, c.sum()))
+
+    results = {}
+    for bal in (0.0, 1.0):
+        ivf = FlatIndex(d, "IVF", nlist=64, ivf_balance=bal,
+                        use_pallas=False)
+        assert ivf.ivf_balance == bal
+        ivf.add(x, labels, paths)
+        _, approx = ivf.search(q, k, nprobe=16)
+        rec = np.mean([len(set(exact[b]) & set(approx[b])) / k
+                       for b in range(len(q))])
+        results[bal] = (weighted_mean_cell(ivf), rec)
+
+    plain_w, plain_rec = results[0.0]
+    bal_w, bal_rec = results[1.0]
+    # (b) the serving cost proxy drops materially
+    assert bal_w < 0.8 * plain_w, results
+    # (c) recall stays in band at quarter-probe on clustered data
+    assert bal_rec >= min(0.92, plain_rec - 0.03), results
+    # (d) FAISS-parity default
+    assert FlatIndex(d, "IVF", nlist=64).ivf_balance == 0.0
+    from radad_tpu.config import Config
+    assert Config().vector_db_ivf_balance == 0.0
+
+
 def test_ivf_gather_matches_masked_scan(rng):
     """Gather-probed IVF (ivf_gather.py) returns the masked scan's results
     exactly when the span covers every cell: identical candidate sets
