@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="IVF centroid split-refinement strength (0 = plain "
                         "Lloyd = FAISS parity; ~1.0 balances cell sizes "
                         "for lower gather-probed serving latency)")
+    p.add_argument("--sq8_residual_nlist", type=int, default=None,
+                   help="SQ8 residual-encoding codebook size (0 = plain "
+                        "per-row SQ8; ~1024 recovers recall on clustered "
+                        "embeddings at unchanged scan cost)")
     p.add_argument("--weights_dir", type=str, default=None,
                    help="Directory with local HF checkpoints for encoders")
     p.add_argument("--seed", type=int, default=None)
@@ -114,6 +118,8 @@ def config_from_args(args) -> "Config":
         over["vector_db_index_type"] = args.index_type.upper()
     if args.ivf_balance is not None:
         over["vector_db_ivf_balance"] = args.ivf_balance
+    if args.sq8_residual_nlist is not None:
+        over["sq8_residual_nlist"] = args.sq8_residual_nlist
     if args.seed is not None:
         over["random_seed"] = args.seed
     if args.max_duration is not None and args.mode != "predict":

@@ -104,6 +104,12 @@ class Config:
     # index.ivf.kmeans and docs/PERFORMANCE.md).
     vector_db_ivf_balance: float = 0.0
     vector_add_batch_size: int = 10000
+    # SQ8 residual encoding (index_type="SQ8"): int8 codes of x − c_cell
+    # against a coarse k-means codebook of this size (0 = plain per-row
+    # SQ8, the FAISS flat-SQ8 analogue). On clustered embeddings the
+    # residual range is the within-cluster spread, so recall vs the f32
+    # oracle recovers at unchanged scan cost — index/quantized.py.
+    sq8_residual_nlist: int = 0
     top_k: int = 5
 
     # --- Projection layer (reference config.py:59-60, :80) ---

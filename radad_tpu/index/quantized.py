@@ -15,6 +15,23 @@ are exact with respect to the stored (rounded) database — the same
 exactness contract as the bf16 mode.
 
 L2 uses stored ‖x̂‖² norms; COSINE normalizes rows before quantization.
+
+Residual mode (``residual_nlist > 0``) — FAISS's IVF-SQ ``by_residual``
+encoding applied to this flat scan: rows are encoded as int8 of the
+residual against their nearest coarse centroid,
+
+    x̂ᵢ = c_{cellᵢ} + sᵢ · codesᵢ,   sᵢ = max|xᵢ − c_{cellᵢ}| / 127
+
+On clustered data the residual's dynamic range is the within-cluster
+spread, not the cluster offsets, so the quantization step shrinks ~4×
+(measured) and recall vs the f32 oracle recovers (0.9625 → 0.9938 at
+100k × 512; plain SQ8's 1M-row recall was the scheme's weak point —
+docs/PERFORMANCE.md). Scan cost is unchanged: the extra term
+q·c_{cell} is one tiny [B, nlist] f32 GEMM + a per-row gather fused
+into the existing [B, N] elementwise, and the centroid table (nlist·D
+f32, ~22 MB at 1024 × 5376) rides beside the codes. The centroids are
+an ENCODING device only — search still scans every row (no probing),
+so this composes with, but does not replace, the IVF index mode.
 """
 
 from __future__ import annotations
@@ -47,7 +64,8 @@ def quantize_rows(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 @partial(jax.jit, static_argnames=("k", "metric", "n_valid",
                                    "exclude_mode"))
 def _sq8_search(q, v_codes, v_scale, v_norm_sq, ids, exclude_ids, k, *,
-                metric, n_valid, codes3=None, exclude_mode="batch"):
+                metric, n_valid, codes3=None, exclude_mode="batch",
+                centroids=None, cells=None):
     """int8 MXU scan + f32 rerank of dequantized candidates.
 
     Two rerank formulations:
@@ -76,6 +94,17 @@ def _sq8_search(q, v_codes, v_scale, v_norm_sq, ids, exclude_ids, k, *,
         q8, v_codes, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32).astype(jnp.float32)
     qx = prod * (q_scale[:, None] * v_scale[None, :])
+    hi0 = jax.lax.Precision.HIGHEST
+    if centroids is not None:
+        # residual mode: q·x̂ = q·c_cell + s·(q·codes). The centroid term
+        # is EXACT f32 (tiny [B, nlist] GEMM + per-row gather), so only
+        # the small residual rides through int8.
+        qcent = jax.lax.dot_general(
+            q.astype(jnp.float32), centroids,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi0)  # [B, nlist]
+        safe_cells = jnp.maximum(cells, 0)
+        qx = qx + jnp.take(qcent, safe_cells, axis=1)
     qsq = jnp.sum(q.astype(jnp.float32) ** 2, -1, keepdims=True)
     if larger_better:
         scores = qx
@@ -110,6 +139,11 @@ def _sq8_search(q, v_codes, v_scale, v_norm_sq, ids, exclude_ids, k, *,
         qc_raw = exact_dot(q3, codes3, safe)
         row_scale = jnp.take(v_scale, safe.reshape(-1)).reshape(safe.shape)
         qc = qc_raw * row_scale
+        if centroids is not None:
+            cand_cells = jnp.take(cells, safe.reshape(-1)
+                                  ).reshape(safe.shape)
+            qc = qc + jnp.take_along_axis(
+                qcent, jnp.maximum(cand_cells, 0), axis=1)
     else:
         r = min(max(4 * k, 32), cap)
         cand_scores, cand_idx = jax.lax.top_k(scores, r)
@@ -119,6 +153,11 @@ def _sq8_search(q, v_codes, v_scale, v_norm_sq, ids, exclude_ids, k, *,
         cand = cand.reshape(safe.shape + (v_codes.shape[-1],))
         cand = cand * jnp.take(v_scale, safe.reshape(-1)
                                ).reshape(safe.shape)[..., None]
+        if centroids is not None:
+            cand_cells = jnp.take(cells, safe.reshape(-1))
+            cand = cand + jnp.take(
+                centroids, jnp.maximum(cand_cells, 0), axis=0
+            ).reshape(cand.shape)
         qc = jnp.einsum("bd,brd->br", q, cand, precision=hi)
 
     if larger_better:
@@ -139,13 +178,18 @@ def _sq8_search(q, v_codes, v_scale, v_norm_sq, ids, exclude_ids, k, *,
     nb = nb.reshape(top_safe.shape + (v_codes.shape[-1],))
     nb = nb * jnp.take(v_scale, top_safe.reshape(-1)
                        ).reshape(top_safe.shape)[..., None]
+    if centroids is not None:
+        top_cells = jnp.take(cells, top_safe.reshape(-1))
+        nb = nb + jnp.take(centroids, jnp.maximum(top_cells, 0), axis=0
+                           ).reshape(nb.shape)
     neighbors = jnp.where(ok[..., None], nb, 0.0)
     return dists, jnp.where(ok, idx, -1), neighbors
 
 
 def retrieve_on_device_sq8(tpp, codes, scales, norm_sq, labels, ids,
                            exclude_ids, *, k, metric, n_valid, codes3=None,
-                           exclude_mode="batch"):
+                           exclude_mode="batch", centroids=None,
+                           cells=None):
     """In-graph SQ8 retrieval with the same contract as
     ``radad_tpu.train.pipeline.retrieve_on_device``: → (neighbors [B,k,D]
     dequantized, labels [B,k], dists [B,k], idx [B,k])."""
@@ -155,7 +199,7 @@ def retrieve_on_device_sq8(tpp, codes, scales, norm_sq, labels, ids,
     dists, idx, neighbors = _sq8_search(
         q, codes, scales, norm_sq, ids, exclude_ids, k,
         metric=metric, n_valid=n_valid, codes3=codes3,
-        exclude_mode=exclude_mode)
+        exclude_mode=exclude_mode, centroids=centroids, cells=cells)
     safe = jnp.maximum(idx, 0)
     nlabels = jnp.where(idx >= 0,
                         jnp.take(labels, safe.reshape(-1)).reshape(idx.shape),
@@ -167,13 +211,22 @@ class QuantizedIndex:
     """int8 flat index with the same search contract as FlatIndex."""
 
     def __init__(self, dimension: int, metric: str = "L2", *,
-                 build_accel: bool = True, capacity: Optional[int] = None):
+                 build_accel: bool = True, capacity: Optional[int] = None,
+                 residual_nlist: int = 0, kmeans_iters: int = 25):
         metric = metric.upper()
         if metric not in ("L2", "IP", "COSINE"):
             raise ValueError(f"QuantizedIndex metric must be L2/IP/COSINE, "
                              f"got {metric}")
         self.dimension = int(dimension)
         self.metric = metric
+        # Residual encoding (module docstring): int8 of x − c_cell against
+        # a coarse k-means codebook trained on the first add's sample.
+        # 0 = plain per-row SQ8 (the FAISS flat-SQ8 analogue).
+        self.residual_nlist = int(residual_nlist)
+        self.kmeans_iters = int(kmeans_iters)
+        self.centroids: Optional[jnp.ndarray] = None  # [nlist, D] f32
+        self.cells: Optional[jnp.ndarray] = None  # [cap] i32, -1 pad
+        self._centroids_host: Optional[np.ndarray] = None
         # Expected final row count. Growth otherwise doubles capacity via
         # jnp.pad, which holds old+new buffers simultaneously — at 1M×5376
         # the 512k→1M codes+codes3 growth step peaks at ~17 GB and OOMs a
@@ -208,19 +261,70 @@ class QuantizedIndex:
                 np.linalg.norm(vectors, axis=-1, keepdims=True), 1e-12)
         if ids is None:
             ids = [file_id(p) for p in paths]
-        codes, scales = quantize_rows(vectors)
+        cells = None
+        if self.residual_nlist > 0:
+            cells = self._assign_or_train(vectors)
+            # Encode the residual chunked (a full-size second f32 copy of
+            # a 1M-row add would be another 21.5 GB of host RAM).
+            codes = np.empty(vectors.shape, np.int8)
+            scales = np.empty(len(vectors), np.float32)
+            for lo in range(0, len(vectors), 100_000):
+                hi = min(lo + 100_000, len(vectors))
+                resid = vectors[lo:hi] - self._centroids_host[cells[lo:hi]]
+                codes[lo:hi], scales[lo:hi] = quantize_rows(resid)
+        else:
+            codes, scales = quantize_rows(vectors)
         self.paths.extend(list(paths))
         self.metadata.extend(list(metadata) if metadata is not None
                              else [{}] * len(paths))
         labels = np.asarray(labels, np.float32)
         ids = np.asarray(ids, np.int32)
         if self.n == 0:
-            self._install_codes(codes, scales, labels, ids)
+            self._install_codes(codes, scales, labels, ids, cells=cells)
         else:
-            self._append_codes(codes, scales, labels, ids)
+            self._append_codes(codes, scales, labels, ids, cells=cells)
+
+    def _assign_or_train(self, vectors: np.ndarray) -> np.ndarray:
+        """Coarse codebook for residual encoding: train on the first
+        add's ≤50k sample (FAISS's train-on-subset pattern,
+        vector_database.py:122-130), then assign every row — incremental
+        adds assign against the FROZEN codebook, so existing codes stay
+        final (the O(new) append contract)."""
+        from radad_tpu.index.flat import _assign_cells
+        from radad_tpu.index.ivf import kmeans
+
+        if self.centroids is None:
+            sample = vectors[:50_000]
+            nlist = max(1, min(self.residual_nlist, len(sample)))
+            cents, _ = kmeans(jnp.asarray(sample), nlist,
+                              iters=self.kmeans_iters, seed=0)
+            self.centroids = cents
+            self._centroids_host = np.asarray(cents)
+        out = np.empty(len(vectors), np.int32)
+        for lo in range(0, len(vectors), 100_000):
+            hi = min(lo + 100_000, len(vectors))
+            out[lo:hi] = np.asarray(jax.jit(_assign_cells)(
+                jnp.asarray(vectors[lo:hi]), self.centroids))
+        return out
+
+    def _norms_chunked(self, codes: np.ndarray, scales: np.ndarray,
+                       cells: Optional[np.ndarray]) -> np.ndarray:
+        """‖x̂‖² per row, chunked (a single-shot dequant of 1M × 5376 rows
+        is 2 × 21.5 GB of f32 temporaries on the host). Residual mode
+        includes the centroid: x̂ = c_cell + s·codes."""
+        n = codes.shape[0]
+        norm_sq = np.empty(n, np.float32)
+        for lo in range(0, n, 100_000):
+            hi = min(lo + 100_000, n)
+            deq = codes[lo:hi].astype(np.float32) * scales[lo:hi, None]
+            if cells is not None:
+                deq = deq + self._centroids_host[cells[lo:hi]]
+            norm_sq[lo:hi] = np.einsum("md,md->m", deq, deq)
+        return norm_sq
 
     def _append_codes(self, codes: np.ndarray, scales: np.ndarray,
-                      labels: np.ndarray, ids: np.ndarray) -> None:
+                      labels: np.ndarray, ids: np.ndarray,
+                      cells: Optional[np.ndarray] = None) -> None:
         """Incremental device-side append, O(new rows) per call.
 
         Per-row symmetric quantization is independent across rows and
@@ -249,10 +353,11 @@ class QuantizedIndex:
             self.norm_sq = pad0(self.norm_sq)
             self.labels = pad0(self.labels)
             self.ids = pad0(self.ids, fill=-1)
+            if self.cells is not None:
+                self.cells = pad0(self.cells, fill=-1)
             if self.codes3 is not None:
                 self.codes3 = pad0(self.codes3)
-        deq = codes.astype(np.float32) * scales[:, None]
-        norm_sq = np.einsum("md,md->m", deq, deq).astype(np.float32)
+        norm_sq = self._norms_chunked(codes, scales, cells)
         start = jnp.int32(self.n)
         dev = jnp.asarray(codes)
         self.codes = _dus(self.codes, dev, start)
@@ -260,6 +365,8 @@ class QuantizedIndex:
         self.norm_sq = _dus(self.norm_sq, jnp.asarray(norm_sq), start)
         self.labels = _dus(self.labels, jnp.asarray(labels), start)
         self.ids = _dus(self.ids, jnp.asarray(ids), start)
+        if cells is not None:
+            self.cells = _dus(self.cells, jnp.asarray(cells), start)
         if self.codes3 is not None:
             sub_pad = self.codes3.shape[1]
             rows3 = jnp.pad(
@@ -269,20 +376,19 @@ class QuantizedIndex:
         self.n = need
 
     def _install_codes(self, codes: np.ndarray, scales: np.ndarray,
-                       labels: np.ndarray, ids: np.ndarray) -> None:
+                       labels: np.ndarray, ids: np.ndarray,
+                       cells: Optional[np.ndarray] = None) -> None:
         """Install int8 codes directly (no re-quantization — a
         quantize(dequantize(·)) round trip can drift codes whose row max
         rounded below 127; VERDICT r1 weak #6)."""
-        # Chunked norm computation: a single-shot dequant of 1M × 5376 rows
-        # is 2 × 21.5 GB of f32 temporaries on the host.
         n = codes.shape[0]
-        norm_sq = np.empty(n, np.float32)
-        for lo in range(0, n, 100_000):
-            hi = min(lo + 100_000, n)
-            deq = codes[lo:hi].astype(np.float32) * scales[lo:hi, None]
-            norm_sq[lo:hi] = np.einsum("md,md->m", deq, deq)
+        norm_sq = self._norms_chunked(codes, scales, cells)
         cap = _round_up(max(n, self.capacity_hint))
         pad = cap - n
+        if cells is not None:
+            self.cells = jnp.asarray(
+                np.pad(np.asarray(cells, np.int32), (0, pad),
+                       constant_values=-1))
         self.codes = jnp.asarray(np.pad(codes, ((0, pad), (0, 0))))
         self.scales = jnp.asarray(np.pad(scales, (0, pad)))
         self.norm_sq = jnp.asarray(np.pad(norm_sq, (0, pad)))
@@ -318,7 +424,8 @@ class QuantizedIndex:
         d, i, _ = _sq8_search(q, self.codes, self.scales, self.norm_sq,
                               self.ids, exclude_ids, k,
                               metric=self.metric, n_valid=self.n,
-                              codes3=self.codes3)
+                              codes3=self.codes3, centroids=self.centroids,
+                              cells=self.cells)
         return np.asarray(d), np.asarray(i).astype(np.int64)
 
     def reconstruct_batch(self, indices) -> np.ndarray:
@@ -326,19 +433,27 @@ class QuantizedIndex:
         safe = np.maximum(idx, 0)
         codes = np.asarray(self.codes)[safe.reshape(-1)].astype(np.float32)
         scales = np.asarray(self.scales)[safe.reshape(-1)]
-        out = (codes * scales[:, None]).reshape(idx.shape + (self.dimension,))
+        out = codes * scales[:, None]
+        if self.centroids is not None:
+            cell = np.asarray(self.cells)[safe.reshape(-1)]
+            out = out + self._centroids_host[np.maximum(cell, 0)]
+        out = out.reshape(idx.shape + (self.dimension,))
         return np.where((idx >= 0)[..., None], out, 0.0).astype(np.float32)
 
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
-        np.savez(os.path.join(directory, "sq8_arrays.npz"),
-                 codes=np.asarray(self.codes)[: self.n],
-                 scales=np.asarray(self.scales)[: self.n],
-                 labels=np.asarray(self.labels)[: self.n],
-                 ids=np.asarray(self.ids)[: self.n])
+        arrays = dict(codes=np.asarray(self.codes)[: self.n],
+                      scales=np.asarray(self.scales)[: self.n],
+                      labels=np.asarray(self.labels)[: self.n],
+                      ids=np.asarray(self.ids)[: self.n])
+        if self.centroids is not None:
+            arrays["centroids"] = self._centroids_host
+            arrays["cells"] = np.asarray(self.cells)[: self.n]
+        np.savez(os.path.join(directory, "sq8_arrays.npz"), **arrays)
         with open(os.path.join(directory, "sq8_meta.json"), "w") as f:
             json.dump({"dimension": self.dimension, "metric": self.metric,
-                       "n": self.n}, f)
+                       "n": self.n,
+                       "residual_nlist": self.residual_nlist}, f)
         with open(os.path.join(directory, "sq8_host.pkl"), "wb") as f:
             pickle.dump({"paths": self.paths, "metadata": self.metadata}, f)
 
@@ -348,11 +463,17 @@ class QuantizedIndex:
         with open(os.path.join(directory, "sq8_meta.json")) as f:
             meta = json.load(f)
         data = np.load(os.path.join(directory, "sq8_arrays.npz"))
-        idx = cls(meta["dimension"], meta["metric"], build_accel=build_accel)
+        idx = cls(meta["dimension"], meta["metric"], build_accel=build_accel,
+                  residual_nlist=int(meta.get("residual_nlist", 0)))
         with open(os.path.join(directory, "sq8_host.pkl"), "rb") as f:
             host = pickle.load(f)
         idx.paths = list(host["paths"])
         idx.metadata = list(host["metadata"])
+        cells = None
+        if "centroids" in data:
+            idx._centroids_host = np.asarray(data["centroids"], np.float32)
+            idx.centroids = jnp.asarray(idx._centroids_host)
+            cells = np.asarray(data["cells"], np.int32)
         idx._install_codes(data["codes"], data["scales"],
-                           data["labels"], data["ids"])
+                           data["labels"], data["ids"], cells=cells)
         return idx

@@ -175,6 +175,8 @@ def sharded_retrieve_sq8(
     *,
     k: int,
     metric: str = "L2",
+    centroids: Optional[jnp.ndarray] = None,  # [nlist, D] f32 — replicated
+    cells: Optional[jnp.ndarray] = None,  # [cap] i32 — sharded with rows
 ) -> ShardedRetrieval:
     """ICI-sharded int8 retrieval: per-shard int8 MXU scan + f32 rerank of
     the shard's top-R quantized candidates, then the same one-all_gather
@@ -186,9 +188,16 @@ def sharded_retrieve_sq8(
     quantized score ranks top-R in their shard. A shard-local top-R is a
     weakly LARGER candidate pool than the single-chip global top-R, so
     recall vs the dequantized-f32 oracle is ≥ the single-chip path's.
-    Row validity is carried by ``ids >= 0`` (padding rows store id -1)."""
+    Row validity is carried by ``ids >= 0`` (padding rows store id -1).
 
-    def shard_fn(q_loc, c_loc, s_loc, nsq_loc, lab_loc, ids_loc, excl_loc):
+    ``centroids``/``cells`` enable residual-SQ8 decoding (x̂ = c_cell +
+    s·codes, index/quantized.py module docstring): the centroid table
+    replicates over the mesh (nlist·D f32 — ~22 MB), cell ids shard with
+    their rows, and each shard adds its rows' exact-f32 q·c_cell term."""
+    residual = centroids is not None
+
+    def shard_fn(q_loc, c_loc, s_loc, nsq_loc, lab_loc, ids_loc, excl_loc,
+                 *resid_args):
         rows_per_shard = c_loc.shape[0]
         shard_i = jax.lax.axis_index(INDEX_AXIS)
         larger_better = metric in ("IP", "COSINE")
@@ -202,6 +211,16 @@ def sharded_retrieve_sq8(
             q8, c_loc, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32).astype(jnp.float32)
         qx = prod * (q_scale[:, None] * s_loc[None, :])
+        hi0 = jax.lax.Precision.HIGHEST
+        if residual:
+            cents_loc, cells_loc = resid_args
+            qcent = jax.lax.dot_general(
+                q_loc.astype(jnp.float32), cents_loc,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=hi0)  # [b, nlist]
+            safe_cells = jnp.maximum(cells_loc, 0)
+            qx = qx + jnp.take(qcent, safe_cells, axis=1)
         if larger_better:
             scores = qx
         else:
@@ -222,6 +241,10 @@ def sharded_retrieve_sq8(
         cand = cand.reshape(cand_idx.shape + (c_loc.shape[-1],))
         cand = cand * jnp.take(s_loc, cand_idx.reshape(-1)
                                ).reshape(cand_idx.shape)[..., None]
+        if residual:
+            cc = jnp.take(cells_loc, cand_idx.reshape(-1))
+            cand = cand + jnp.take(cents_loc, jnp.maximum(cc, 0), axis=0
+                                   ).reshape(cand.shape)
         hi = jax.lax.Precision.HIGHEST
         qc = jnp.einsum("bd,brd->br", q_loc, cand, precision=hi)
         if larger_better:
@@ -245,14 +268,19 @@ def sharded_retrieve_sq8(
         return _merge_shard_candidates(vals, gidx, cand_vecs, cand_labs,
                                        k, metric)
 
+    in_specs = [P(DATA_AXIS, None), P(INDEX_AXIS, None), P(INDEX_AXIS),
+                P(INDEX_AXIS), P(INDEX_AXIS), P(INDEX_AXIS), P(DATA_AXIS)]
+    args = [q, codes, scales, norm_sq, labels, ids, exclude_ids]
+    if residual:
+        in_specs += [P(), P(INDEX_AXIS)]  # centroids replicated; cells
+        args += [centroids, cells]        # shard with their rows
     out = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(INDEX_AXIS, None), P(INDEX_AXIS),
-                  P(INDEX_AXIS), P(INDEX_AXIS), P(INDEX_AXIS), P(DATA_AXIS)),
+        in_specs=tuple(in_specs),
         out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None),
                    P(DATA_AXIS, None), P(DATA_AXIS, None)),
         check_vma=False,
-    )(q, codes, scales, norm_sq, labels, ids, exclude_ids)
+    )(*args)
     return ShardedRetrieval(*out)
 
 

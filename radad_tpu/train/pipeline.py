@@ -353,8 +353,10 @@ class DetectionPipeline:
         if self.is_quantized:
             from radad_tpu.index.quantized import QuantizedIndex
 
-            self.index = QuantizedIndex(self.tpp_dim, "L2",
-                                        build_accel=mesh is None)
+            self.index = QuantizedIndex(
+                self.tpp_dim, "L2", build_accel=mesh is None,
+                residual_nlist=config.sq8_residual_nlist,
+                kmeans_iters=config.vector_db_kmeans_iters)
         else:
             self.index = FlatIndex(
                 self.tpp_dim, metric, nlist=config.vector_db_nlist,
@@ -421,6 +423,11 @@ class DetectionPipeline:
             self.index.codes = jax.device_put(self.index.codes, row)
             self.index.scales = jax.device_put(self.index.scales, vec)
             self.index.norm_sq = jax.device_put(self.index.norm_sq, vec)
+            if self.index.centroids is not None:
+                rep = NamedSharding(self.mesh, P())
+                self.index.cells = jax.device_put(self.index.cells, vec)
+                self.index.centroids = jax.device_put(
+                    self.index.centroids, rep)
         else:
             self.index.vectors = jax.device_put(self.index.vectors, row)
             self.index.norms_sq = jax.device_put(self.index.norms_sq, vec)
@@ -446,9 +453,14 @@ class DetectionPipeline:
         if self.is_quantized:
             base = (self.index.codes, self.index.scales, self.index.norm_sq,
                     self.index.labels, self.index.ids)
+            # residual-SQ8 state rides at the END so tuple lengths stay
+            # unambiguous: mesh = 5 (plain) / 7 (residual); single-chip =
+            # 6 (plain) / 8 (residual).
+            resid = ((self.index.centroids, self.index.cells)
+                     if self.index.centroids is not None else ())
             if self.mesh is not None:
-                return base  # sharded retrieve takes the canonical arrays
-            return base + (self.index.codes3,)
+                return base + resid  # sharded retrieve: canonical arrays
+            return base + (self.index.codes3,) + resid
         if self.mesh is not None:
             base = (self.index.vectors, self.index.labels, self.index.ids,
                     self.index.norms_sq)
@@ -498,10 +510,13 @@ class DetectionPipeline:
                 from radad_tpu.parallel.sharded_index import (
                     sharded_retrieve_sq8)
 
-                codes, scales, norm_sq, labels, ids = index_args
+                codes, scales, norm_sq, labels, ids = index_args[:5]
+                cents, cls = (index_args[5:7] if len(index_args) == 7
+                              else (None, None))
                 ret = sharded_retrieve_sq8(
                     self.mesh, tpp, codes, scales, norm_sq, labels, ids,
-                    exclude_ids, k=k, metric="L2")
+                    exclude_ids, k=k, metric="L2", centroids=cents,
+                    cells=cls)
             else:
                 from radad_tpu.parallel.sharded_index import sharded_retrieve
 
@@ -518,11 +533,17 @@ class DetectionPipeline:
             from radad_tpu.index.quantized import retrieve_on_device_sq8
 
             codes, scales, norm_sq, labels, ids = index_args[:5]
-            codes3 = index_args[5] if len(index_args) == 6 else None
+            # mesh fallthrough (exclude_mode="self"/non-dividing batch)
+            # carries no codes3: lengths 5/7 vs single-chip 6/8.
+            has_codes3 = len(index_args) in (6, 8)
+            codes3 = index_args[5] if has_codes3 else None
+            cents = cls = None
+            if len(index_args) in (7, 8):
+                cents, cls = index_args[-2:]
             return retrieve_on_device_sq8(
                 tpp, codes, scales, norm_sq, labels, ids, exclude_ids,
                 k=k, metric="L2", n_valid=n_valid, codes3=codes3,
-                exclude_mode=exclude_mode)
+                exclude_mode=exclude_mode, centroids=cents, cells=cls)
         vectors, labels, ids, xsq = index_args[:4]
         if self.mesh is None and len(index_args) == 11:
             from radad_tpu.index.ivf_gather import default_chunk_budget

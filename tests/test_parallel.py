@@ -302,6 +302,59 @@ def test_sharded_sq8_matches_single_chip(mesh24, rng):
                     np.asarray(ret.neighbors)[r, j], deq[gi], rtol=1e-5)
 
 
+def test_sharded_sq8_residual_matches_single_chip(mesh24, rng):
+    """Residual SQ8 × mesh: centroids replicate, cells shard with their
+    rows, and the ICI-sharded retrieve returns the single-chip
+    _sq8_search's neighbors (same exact-w.r.t.-dequantized-rows
+    contract), with neighbor vectors = c_cell + s·codes."""
+    from radad_tpu.index.quantized import QuantizedIndex
+    from radad_tpu.parallel.sharded_index import sharded_retrieve_sq8
+
+    n, d, b, k = 320, 48, 8, 5
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 6.0
+    vecs = (centers[rng.integers(0, 8, n)]
+            + rng.standard_normal((n, d)).astype(np.float32))
+    labels = (rng.random(n) > 0.5).astype(np.float32)
+    paths = [f"f{i}.wav" for i in range(n)]
+    ids = np.arange(n, dtype=np.int32) % 61
+    q = (centers[rng.integers(0, 8, b)]
+         + rng.standard_normal((b, d)).astype(np.float32))
+    excl = (np.arange(b) % 61).astype(np.int32)
+
+    single = QuantizedIndex(d, "L2", residual_nlist=16)
+    single.add(vecs, labels, paths, ids=ids)
+    d_ref, i_ref = single.search(q, k, exclude_ids=excl)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from radad_tpu.parallel.mesh import INDEX_AXIS
+    row = NamedSharding(mesh24, P(INDEX_AXIS, None))
+    vec = NamedSharding(mesh24, P(INDEX_AXIS))
+    rep = NamedSharding(mesh24, P())
+    ret = sharded_retrieve_sq8(
+        mesh24, jnp.asarray(q),
+        jax.device_put(single.codes, row),
+        jax.device_put(single.scales, vec),
+        jax.device_put(single.norm_sq, vec),
+        jax.device_put(single.labels, vec),
+        jax.device_put(single.ids, vec),
+        jnp.asarray(excl), k=k, metric="L2",
+        centroids=jax.device_put(single.centroids, rep),
+        cells=jax.device_put(single.cells, vec))
+    i_got = np.asarray(ret.indices)
+    for r in range(b):
+        assert set(i_got[r]) == set(i_ref[r]), r
+    np.testing.assert_allclose(np.sort(np.asarray(ret.dists), 1),
+                               np.sort(d_ref, 1), rtol=1e-3, atol=1e-2)
+    deq = single.reconstruct_batch(np.arange(n)[None, :])[0]
+    for r in range(3):
+        for j in range(k):
+            gi = i_got[r, j]
+            if gi >= 0:
+                np.testing.assert_allclose(
+                    np.asarray(ret.neighbors)[r, j], deq[gi],
+                    rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_sq8_pipeline_on_mesh(mesh24, synthetic_dataset):
     """DetectionPipeline(SQ8) composes with a mesh end-to-end (the r1

@@ -227,6 +227,35 @@ def test_sq8_pipeline(synthetic_dataset, tiny_encoder, tmp_path):
     assert abs(out2["logit"] - out["logit"]) < 1e-3
 
 
+@pytest.mark.slow
+def test_sq8_residual_pipeline(synthetic_dataset, tiny_encoder, tmp_path):
+    """sq8_residual_nlist > 0 flows through DB build → train → predict
+    (the 8-tuple _index_args dispatch) and persists: loaded pipeline's
+    index carries the codebook and reproduces predictions."""
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    root = str(tmp_path)
+    cfg = Config().replace(
+        data_root=root, train_data_path=synthetic_dataset,
+        vector_db_path=os.path.join(root, "vdb"),
+        vector_db_index_type="SQ8", sq8_residual_nlist=8,
+        batch_size=8, eval_batch_size=8, db_batch_size=8, num_epochs=1,
+        use_layer_norm=True, use_batch_norm=False)
+    splits = load_manifests(synthetic_dataset)
+    pipe = DetectionPipeline(cfg, encoder=tiny_encoder)
+    pipe.train(splits["train"], splits["val"])
+    assert pipe.index.centroids is not None
+    assert pipe.index.centroids.shape[0] <= 8
+    out = pipe.predict(splits["val"].paths[0])
+    assert out["prediction"] in ("spoof", "bona-fide")
+    pipe2 = DetectionPipeline(cfg, encoder=tiny_encoder)
+    assert pipe2.load_models("final_model")
+    assert pipe2.load_vector_database()
+    assert pipe2.index.centroids is not None
+    out2 = pipe2.predict(splits["val"].paths[0])
+    assert abs(out2["logit"] - out["logit"]) < 1e-3
+
+
 def test_predict_batch(trained):
     """predict_batch == per-clip predict for every clip."""
     pipe, splits, _, _ = trained
