@@ -52,6 +52,57 @@ def test_sharded_retrieve_matches_flat(mesh24, rng):
                     np.asarray(ret.neighbors)[row, j], vecs[gi], rtol=1e-6)
 
 
+def test_sharded_retrieve_collectives(mesh24, rng):
+    """Pin the communication contract of the sharded retrieve at the HLO
+    level (the docs/PARALLELISM.md cost model): exactly ONE all_gather of
+    the exclusion ids over 'data' plus the candidate-merge all_gathers
+    over 'index' — payloads O(B·k·shards·D), INDEPENDENT of the DB row
+    count — and no all-to-all / collective-permute / reduce-scatter /
+    all-reduce anywhere. A regression that moves raw DB rows (or any
+    O(N) payload) over ICI fails this test."""
+    import re
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from radad_tpu.parallel.mesh import DATA_AXIS, INDEX_AXIS
+    from radad_tpu.parallel.sharded_index import sharded_retrieve
+
+    n, d, b, k = 2048, 128, 32, 5
+    vecs = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    labels = jnp.zeros((n,))
+    ids = jnp.arange(n, dtype=jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    excl = jnp.full((b,), -2, jnp.int32)
+
+    def f(q, vecs, labels, ids, valid, excl):
+        return sharded_retrieve(mesh24, q, vecs, labels, ids, valid, excl,
+                                k=k, metric="L2")
+
+    row = NamedSharding(mesh24, P(INDEX_AXIS, None))
+    vec = NamedSharding(mesh24, P(INDEX_AXIS))
+    dat = NamedSharding(mesh24, P(DATA_AXIS, None))
+    dat1 = NamedSharding(mesh24, P(DATA_AXIS))
+    args = (jax.device_put(q, dat), jax.device_put(vecs, row),
+            jax.device_put(labels, vec), jax.device_put(ids, vec),
+            jax.device_put(ids >= 0, vec), jax.device_put(excl, dat1))
+    hlo = jax.jit(f).lower(*args).compile().as_text()
+
+    for banned in ("all-to-all(", "collective-permute(",
+                   "reduce-scatter(", "all-reduce("):
+        assert banned not in hlo, banned
+    # every all-gather payload is independent of the DB size: no
+    # dimension may reach the per-shard row count (n / index shards)
+    shards = mesh24.shape[INDEX_AXIS]
+    rows_per_shard = n // shards
+    ag_shapes = re.findall(r"= \w+\[([\d,]+)\][^=]* all-gather\(", hlo)
+    assert ag_shapes, "expected all-gather ops in the compiled HLO"
+    for dims in ag_shapes:
+        for dim in map(int, dims.split(",")):
+            assert dim < rows_per_shard, (dims, ag_shapes)
+    # the merge moves candidate rows: k·shards·D floats per query — at
+    # these shapes every gather dim is ≤ max(b, shards·k, D)
+    assert max(int(x) for s in ag_shapes for x in s.split(",")) <= d
+
+
 def test_sharded_retrieve_exclusion(mesh24, rng):
     n, d, k = 64, 16, 3
     vecs = rng.standard_normal((n, d)).astype(np.float32)
