@@ -97,6 +97,59 @@ def test_failure_raises(tmp_path):
         native.decode_fixed(str(tmp_path / "missing.wav"), 100, 16000)
 
 
+def test_decoder_fuzz_malformed_inputs(tmp_path, rng):
+    """Adversarial-input contract for the C++ decoder: on arbitrarily
+    truncated or byte-mutated WAV files it must either decode (returning
+    finite samples within a sane length bound) or raise ValueError —
+    never crash the process, hang, or return garbage lengths — and the
+    pipeline-facing ``load_audio`` wrapper must map every such failure to
+    the zeros fallback (the reference's dataset.py:139-153 contract)."""
+    from radad_tpu.data.audio import load_audio
+
+    sig = 0.25 * np.sin(2 * np.pi * 220 * np.arange(8000) / 16000)
+    good = str(tmp_path / "good.wav")
+    _write(good, sig, 16000)
+    blob = open(good, "rb").read()
+
+    cases = []
+    # truncations at awkward offsets (inside header, fmt, data)
+    for cut in (1, 4, 11, 12, 20, 36, 44, 45, 100, len(blob) - 1):
+        cases.append(blob[:cut])
+    # single-byte mutations across the header region + random data bytes
+    for _ in range(120):
+        pos = int(rng.integers(0, min(len(blob), 2000)))
+        b = bytearray(blob)
+        b[pos] = int(rng.integers(0, 256))
+        cases.append(bytes(b))
+    # pathological declared sizes: huge data-chunk length, zero channels,
+    # absurd sample rate / bit depth
+    for patch_pos, patch in ((40, b"\xff\xff\xff\x7f"),  # data size = 2^31
+                             (22, b"\x00\x00"),          # channels = 0
+                             (24, b"\x00\x00\x00\x00"),  # rate = 0
+                             (34, b"\x00\x00")):         # bits = 0
+        b = bytearray(blob)
+        b[patch_pos:patch_pos + len(patch)] = patch
+        cases.append(bytes(b))
+
+    path = str(tmp_path / "fuzz.wav")
+    for i, payload in enumerate(cases):
+        with open(path, "wb") as f:
+            f.write(payload)
+        try:
+            audio, sr = native.decode(path)
+            audio = np.asarray(audio)
+            assert np.isfinite(audio).all(), i
+            # a mutated byte can't legitimately multiply the length
+            assert audio.size <= 4 * len(blob), (i, audio.size)
+            assert 0 < sr < 10_000_000, (i, sr)
+        except ValueError:
+            pass  # the documented failure mode
+        # pipeline contract: never raises, zeros on failure
+        out = load_audio(path, sample_rate=16000, duration=0.5)
+        assert out.shape == (8000,)
+        assert np.isfinite(out).all(), i
+
+
 def test_load_audio_uses_native(tmp_path):
     """data.audio.load_audio routes through the native decoder when built."""
     import radad_tpu.data.audio as audio_mod
