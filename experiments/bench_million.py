@@ -86,6 +86,17 @@ def main():
     p.add_argument("--skip_sq8", action="store_true")
     p.add_argument("--skip_bf16", action="store_true")
     p.add_argument("--skip_ivf", action="store_true")
+    p.add_argument("--skip_flat", action="store_true",
+                   help="skip the flat-scan QPS row (IVF-only rerun)")
+    p.add_argument("--skip_scan_sweep", action="store_true",
+                   help="skip the masked-scan nprobe sweep + masked B=1 "
+                        "row (IVF gather-path rerun)")
+    p.add_argument("--balance", type=float, default=0.0,
+                   help="kmeans split-refinement strength "
+                        "(index/ivf.py; 0 = plain Lloyd)")
+    p.add_argument("--sq8_residual", type=int, default=0,
+                   help="SQ8 residual-encoding codebook size "
+                        "(index/quantized.py; 0 = plain per-row SQ8)")
     args = p.parse_args()
     n, d, b, k = args.rows, args.d, args.batch, args.k
 
@@ -179,8 +190,9 @@ def main():
                 qs, xbf, ids, excl, k, metric="L2", n_valid=n, xsq=xsq,
                 scan_bf16=xbf, gather3=None)
 
-        bench_mode("bf16-storage flat (single-buffer)", search_bf16,
-                   jnp.asarray(q_full), (xsq, xbf, ids, excl))
+        if not args.skip_flat:
+            bench_mode("bf16-storage flat (single-buffer)", search_bf16,
+                       jnp.asarray(q_full), (xsq, xbf, ids, excl))
         if args.skip_ivf:
             del xbf, xsq
         else:
@@ -188,10 +200,11 @@ def main():
             from radad_tpu.index.ivf import kmeans
             from radad_tpu.index.flat import _assign_cells
 
-            print("# training IVF k-means (nlist=4096, 25 iters, 50k "
-                  "sample)", file=sys.stderr)
+            print(f"# training IVF k-means (nlist=4096, 25 iters, 50k "
+                  f"sample, balance={args.balance})", file=sys.stderr)
             train = jnp.asarray(x[:50_000])
-            cents, _ = kmeans(train, 4096, iters=25, seed=0)
+            cents, _ = kmeans(train, 4096, iters=25, seed=0,
+                              balance=args.balance)
             # chunked assignment: the full [N, nlist] distance matrix is
             # 16 GB at 1M rows — assign 100k rows at a time. Rows come from
             # the DEVICE-resident bf16 buffer (dynamic_slice), not a second
@@ -208,7 +221,23 @@ def main():
                 got = np.asarray(assign_j(xbf, lo, cents))
                 cells_np[lo:hi] = got[:hi - lo]
             cells = jnp.asarray(cells_np)
-            for nprobe in (16, 64, 256, 1024):
+            counts_all = np.bincount(cells_np[cells_np >= 0],
+                                     minlength=4096).astype(np.float64)
+            cstats = {"metric": f"1M-row IVF cells balance={args.balance}",
+                      "rows": n, "nlist": 4096,
+                      "weighted_mean_cell":
+                          round(float((counts_all ** 2).sum() / n), 1),
+                      "mean_cell": round(n / 4096, 1),
+                      "p999_cell":
+                          round(float(np.quantile(counts_all, 0.999)), 1),
+                      "max_cell": int(counts_all.max()),
+                      "empty_cells": int((counts_all == 0).sum())}
+            results.append(cstats)
+            _persist(cstats)
+            print(json.dumps(cstats))
+            sweep_probes = () if args.skip_scan_sweep else (16, 64, 256,
+                                                            1024)
+            for nprobe in sweep_probes:
                 def search_ivf(qs, xsq, xbf, ids, excl, cents, cells,
                                nprobe=nprobe):
                     return _search_device(
@@ -239,6 +268,8 @@ def main():
 
             # honest comparison point: the masked scan at B=1 (same
             # nprobe) still sweeps the whole DB
+            bal_tag = (f" balance={args.balance}" if args.balance else "")
+
             def scan_b1(qs, xsq, xbf, ids, excl, cents, cells):
                 return _search_device(
                     qs, xbf, ids, excl, k, metric="IVF", n_valid=n,
@@ -253,16 +284,19 @@ def main():
                     jnp.sum(jnp.where(jnp.isfinite(vals), vals, 0.0))
                     + 1e-30 * jnp.sum(idx.astype(jnp.float32)))
 
-            dt1 = chain_time(step1, jnp.asarray(q_full[:1]), n=args.reps,
-                             consts=(xsq, xbf, ids, ex1, cents, cells))
-            row = {"metric": "1M-row masked-scan IVF nprobe=64 B=1 top-5",
-                   "rows": n, "dim": d, "value": round(dt1 * 1e3, 3),
-                   "unit": "ms/call", "qps": round(1 / dt1, 1)}
-            results.append(row)
-            _persist(row)
-            print(json.dumps(row))
-            print(f"# masked-scan B=1: {dt1*1e3:.2f} ms/call",
-                  file=sys.stderr)
+            if not args.skip_scan_sweep:
+                dt1 = chain_time(step1, jnp.asarray(q_full[:1]),
+                                 n=args.reps,
+                                 consts=(xsq, xbf, ids, ex1, cents, cells))
+                row = {"metric":
+                       "1M-row masked-scan IVF nprobe=64 B=1 top-5",
+                       "rows": n, "dim": d, "value": round(dt1 * 1e3, 3),
+                       "unit": "ms/call", "qps": round(1 / dt1, 1)}
+                results.append(row)
+                _persist(row)
+                print(json.dumps(row))
+                print(f"# masked-scan B=1: {dt1*1e3:.2f} ms/call",
+                      file=sys.stderr)
             for gb, nprobe in ((1, 16), (1, 64), (8, 64)):
                 def search_g(qs, xsq, xbf, ids, excl, cents, table, ovf,
                              nprobe=nprobe):
@@ -295,7 +329,7 @@ def main():
                         tot += k
                 rec = hits / tot
                 row = {"metric": (f"1M-row gather-probed IVF nprobe="
-                                  f"{nprobe} B={gb} top-{k}"),
+                                  f"{nprobe} B={gb} top-{k}{bal_tag}"),
                        "rows": n, "dim": d,
                        "value": round(dt * 1e3, 3), "unit": "ms/call",
                        "qps": round(gb / dt, 1),
@@ -357,7 +391,8 @@ def main():
                         tot += k
                 rec = hits / tot
                 row = {"metric": (f"1M-row chunked gather-probed IVF "
-                                  f"nprobe={nprobe} B={gb} top-{k}"),
+                                  f"nprobe={nprobe} B={gb} top-{k}"
+                                  f"{bal_tag}"),
                        "rows": n, "dim": d, "chunk_budget": budget,
                        "value": round(dt * 1e3, 3), "unit": "ms/call",
                        "qps": round(gb / dt, 1),
@@ -376,7 +411,9 @@ def main():
             del xbf, xsq, cents, cells
 
     if not args.skip_sq8:
-        print("# quantizing SQ8 DB (5.4 GB codes)", file=sys.stderr)
+        rn = args.sq8_residual
+        print(f"# quantizing SQ8 DB (5.4 GB codes, residual_nlist={rn})",
+              file=sys.stderr)
         from radad_tpu.index.quantized import QuantizedIndex
 
         # capacity hint: preallocate at 1M rows — the doubling growth's
@@ -387,7 +424,8 @@ def main():
         # FlatIndex(single_buffer=True): the rerank uses the XLA
         # take-dequant path, whose cost is noise against the O(N) int8
         # scan at this scale.
-        qidx = QuantizedIndex(d, "L2", capacity=n, build_accel=False)
+        qidx = QuantizedIndex(d, "L2", capacity=n, build_accel=False,
+                              residual_nlist=rn)
         chunk = 100_000
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
@@ -395,16 +433,25 @@ def main():
                      [f"r{i}" for i in range(lo, hi)],
                      ids=list(range(lo, hi)))
             print(f"# sq8 add {hi:,}/{n:,}", file=sys.stderr)
+        if rn:
+            scales_np = np.asarray(qidx.scales)[:n]
+            print(f"# residual mean step {scales_np.mean():.5f}",
+                  file=sys.stderr)
 
-        def search_sq8(qs, codes, scales, norm_sq, sids, excl, codes3):
+        def search_sq8(qs, codes, scales, norm_sq, sids, excl, codes3,
+                       *resid):
+            cents, cls = resid if resid else (None, None)
             dists, idx, _ = _sq8_search(
                 qs, codes, scales, norm_sq, sids, excl, k, metric="L2",
-                n_valid=n, codes3=codes3)
+                n_valid=n, codes3=codes3, centroids=cents, cells=cls)
             return dists, idx
 
-        bench_mode("SQ8 int8", search_sq8, jnp.asarray(q_full),
-                   (qidx.codes, qidx.scales, qidx.norm_sq, qidx.ids,
-                    excl, qidx.codes3))
+        consts_sq8 = (qidx.codes, qidx.scales, qidx.norm_sq, qidx.ids,
+                      excl, qidx.codes3)
+        if rn:
+            consts_sq8 = consts_sq8 + (qidx.centroids, qidx.cells)
+        bench_mode("SQ8 int8" + (f" residual_nlist={rn}" if rn else ""),
+                   search_sq8, jnp.asarray(q_full), consts_sq8)
 
     with open("experiments/million_row_bench.json", "w") as f:
         json.dump(results, f, indent=1)

@@ -590,7 +590,9 @@ class FlatIndex:
         np.savez(os.path.join(directory, "index_arrays.npz"), **arrays)
         meta = dict(dimension=self.dimension, metric=self.metric, n=self.n,
                     nlist=self.nlist, nprobe=self.nprobe,
-                    use_float16=self.use_float16)
+                    use_float16=self.use_float16,
+                    kmeans_iters=self.kmeans_iters,
+                    ivf_balance=self.ivf_balance)
         with open(os.path.join(directory, "index_meta.json"), "w") as f:
             json.dump(meta, f)
         with open(os.path.join(directory, "index_host.pkl"), "wb") as f:
@@ -604,6 +606,10 @@ class FlatIndex:
         idx = cls(meta["dimension"], meta["metric"], nlist=meta.get("nlist", 0),
                   nprobe=meta.get("nprobe", 32), use_pallas=use_pallas,
                   use_float16=meta.get("use_float16", False),
+                  # training knobs survive the roundtrip so a post-load
+                  # add/retrain reproduces the saved quantizer's regime
+                  kmeans_iters=int(meta.get("kmeans_iters", 25)),
+                  ivf_balance=float(meta.get("ivf_balance", 0.0)),
                   build_accel=build_accel)
         data = np.load(os.path.join(directory, "index_arrays.npz"))
         with open(os.path.join(directory, "index_host.pkl"), "rb") as f:

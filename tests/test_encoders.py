@@ -305,23 +305,31 @@ def test_hubert_factory(tmp_path):
     assert (large.hidden_size, large.do_stable_layer_norm) == (1024, True)
 
 
-def test_input_normalize_matches_hf_processor(rng):
+def test_input_normalize_matches_hf_processor():
     """FrozenEncoder(input_normalize=True) reproduces the HF processor's
     zero_mean_unit_var_norm + encoder forward — the ``do_normalize``
     preprocessing the reference inherits from each checkpoint's
     Wav2Vec2Processor/AutoFeatureExtractor (feature_extractor.py:14,27-30,
     :152-154; preprocessor_config.json sets it per checkpoint: False for
     the base-960h/wavlm-base defaults, True for the lv60/xlsr/large
-    families)."""
+    families).
+
+    Seeds are pinned locally (not the session fixtures): the tiny random
+    group-norm frontend is nearly input-affine-invariant, so the raw-path
+    "must differ" margin below is draw-dependent (measured 0.8e-3..2.9e-3
+    across seeds) — the session-scoped rng/torch stream position made this
+    flake under whole-suite ordering."""
     from transformers import Wav2Vec2FeatureExtractor as HFFe
     from radad_tpu.models.encoder import FrozenEncoder
 
+    torch.manual_seed(5)
     tm, cfg, params = tiny_w2v2_pair()
     fe = HFFe(feature_size=1, sampling_rate=16000, do_normalize=True,
               return_attention_mask=False)
     # offset/scaled inputs so normalization is not a near-no-op (real
     # waveforms are not zero-mean/unit-var)
-    segs = [(0.1 * rng.standard_normal(2000) + 0.05 * (i + 1)
+    local = np.random.default_rng(7)
+    segs = [(0.1 * local.standard_normal(2000) + 0.05 * (i + 1)
              ).astype(np.float32) for i in range(3)]
     inputs = fe(segs, sampling_rate=16000, return_tensors="pt",
                 padding=True).input_values

@@ -1252,7 +1252,8 @@ def test_ivf_save_load_no_retrain(rng, tmp_path, monkeypatch):
     minutes), and search results are identical to the saved index."""
     d, n = 32, 500
     x = rng.standard_normal((n, d)).astype(np.float32)
-    idx = FlatIndex(d, "IVF", nlist=16, nprobe=4, use_pallas=False)
+    idx = FlatIndex(d, "IVF", nlist=16, nprobe=4, ivf_balance=1.0,
+                    kmeans_iters=12, use_pallas=False)
     idx.add(x, np.zeros(n, np.float32), [f"f{i}.wav" for i in range(n)])
     q = rng.standard_normal((6, d)).astype(np.float32)
     d0, i0 = idx.search(q, 5)
