@@ -155,7 +155,9 @@ class FlatIndex:
         # when it touches fewer rows.
         self.ivf_chunk_rows: Optional[jnp.ndarray] = None  # [NC, 128] i32
         self.ivf_cell_chunks: Optional[jnp.ndarray] = None  # [nlist, MC] i32
+        self._ivf_cell_chunks_host: Optional[np.ndarray] = None  # host copy
         self.ivf_counts: Optional[np.ndarray] = None  # [nlist] i32 host
+        self._chunk_budget_cache: dict = {}  # np_eff -> static chunk budget
         # Default to the XLA path: measured on v5e, one matmul + lax.top_k
         # runs the flat scan at ~790 GB/s effective — essentially HBM
         # speed-of-light — while the fused Pallas kernel's in-kernel k-select
@@ -227,9 +229,9 @@ class FlatIndex:
                                ids[i:i + bs])
         if self.metric == "IVF":
             # Coarse quantizer retrains on the merged set (one chunked
-            # host pull, same as _install's semantics).
-            self._train_ivf(device_to_host(
-                self.vectors.astype(jnp.float32))[: self.n])
+            # host pull bounded to the live rows — no full-capacity f32
+            # device copy; same semantics as _install).
+            self._train_ivf(device_to_host(self.vectors, limit=self.n))
 
     def _grow_to(self, new_cap: int) -> None:
         """Device-side capacity growth (no host transfer)."""
@@ -380,6 +382,7 @@ class FlatIndex:
         table, _, overflow = build_cell_table(cells, self.n, nlist)
         self.ivf_table = jnp.asarray(table)
         self.ivf_overflow = jnp.asarray(overflow)
+        self._chunk_budget_cache = {}  # np_eff -> static budget (host)
         # Chunk width tracks the mean cell size (pow2 in [8, 128]): 128 at
         # 1M/4096 (mean 244), 8 on small/test DBs where a fixed 128 would
         # make budget*chunk exceed the gather-dispatch gate (2*touched<N)
@@ -392,6 +395,7 @@ class FlatIndex:
             cells, self.n, nlist, chunk=chunk)
         self.ivf_chunk_rows = jnp.asarray(chunk_rows)
         self.ivf_cell_chunks = jnp.asarray(cell_chunks)
+        self._ivf_cell_chunks_host = cell_chunks  # budget calc stays host-side
         self.ivf_counts = counts
 
     def _train_ivf(self, vecs: np.ndarray) -> None:
@@ -429,6 +433,21 @@ class FlatIndex:
         # padded rows get some cell; masked by n anyway
         self.cells = jnp.asarray(cells)
         self._build_gather_tables(cells, nlist)
+
+    def chunk_budget(self, np_eff: int) -> int:
+        """Static chunk budget for the gather-probed path at ``np_eff``
+        probes — a pure function of the HOST-resident tables, cached so
+        the serving hot path (search() and the predict-graph cache key)
+        never re-pulls the chunk table device→host per call (~10 ms
+        through a relay at nlist=4096)."""
+        from radad_tpu.index.ivf_gather import default_chunk_budget
+
+        budget = self._chunk_budget_cache.get(np_eff)
+        if budget is None:
+            budget = default_chunk_budget(
+                self._ivf_cell_chunks_host, self.ivf_counts, np_eff)
+            self._chunk_budget_cache[np_eff] = budget
+        return budget
 
     # ------------------------------------------------------------------
     def search(self, queries, k: int, *, exclude_ids=None,
@@ -471,10 +490,11 @@ class FlatIndex:
 
             np_eff = min(self.nprobe if nprobe is None else int(nprobe),
                          self.ivf_table.shape[0])
-            touched_span = (q.shape[0] * np_eff * self.ivf_table.shape[1]
-                            + self.ivf_overflow.shape[0])
-            budget = default_chunk_budget(
-                np.asarray(self.ivf_cell_chunks), self.ivf_counts, np_eff)
+            # Overflow rides along with EVERY query's candidates, so it
+            # costs B·V rows, not V (latency model only; results exact).
+            touched_span = q.shape[0] * (np_eff * self.ivf_table.shape[1]
+                                         + self.ivf_overflow.shape[0])
+            budget = self.chunk_budget(np_eff)
             touched_chunk = (q.shape[0] * budget
                              * self.ivf_chunk_rows.shape[1])
             touched = min(touched_span, touched_chunk)
@@ -570,13 +590,22 @@ class FlatIndex:
     # ------------------------------------------------------------------
     def save(self, directory: str) -> None:
         """Array-native persistence (replaces faiss.write_index + pickle,
-        vector_database.py:190-216)."""
+        vector_database.py:190-216). Every file is written atomically
+        (temp + rename) so an interrupted save — e.g. the pipeline's
+        background save thread dying at interpreter exit — leaves either
+        the old complete index or the new one, never a truncated npz
+        beside a stale meta."""
+        from radad_tpu.utils.atomic_io import (atomic_json_dump,
+                                               atomic_pickle_dump,
+                                               atomic_savez)
         from radad_tpu.utils.transfer import device_to_host
 
         os.makedirs(directory, exist_ok=True)
         arrays = dict(
-            vectors=device_to_host(
-                self.vectors.astype(jnp.float32))[: self.n],
+            # limit=n + per-chunk bf16→f32: never materializes a full-
+            # capacity f32 copy on device (21.5 GB at 1M×5376 — OOM beside
+            # the bf16 buffer) nor pulls the capacity padding.
+            vectors=device_to_host(self.vectors, limit=self.n),
             labels=np.asarray(self.labels)[: self.n],
             ids=np.asarray(self.ids)[: self.n],
         )
@@ -587,16 +616,16 @@ class FlatIndex:
             # trained IVF quantizer.
             arrays["centroids"] = np.asarray(self.centroids)
             arrays["cells"] = np.asarray(self.cells)[: self.n]
-        np.savez(os.path.join(directory, "index_arrays.npz"), **arrays)
+        atomic_savez(os.path.join(directory, "index_arrays.npz"), **arrays)
         meta = dict(dimension=self.dimension, metric=self.metric, n=self.n,
                     nlist=self.nlist, nprobe=self.nprobe,
                     use_float16=self.use_float16,
+                    single_buffer=self.single_buffer,
                     kmeans_iters=self.kmeans_iters,
                     ivf_balance=self.ivf_balance)
-        with open(os.path.join(directory, "index_meta.json"), "w") as f:
-            json.dump(meta, f)
-        with open(os.path.join(directory, "index_host.pkl"), "wb") as f:
-            pickle.dump({"paths": self.paths, "metadata": self.metadata}, f)
+        atomic_json_dump(meta, os.path.join(directory, "index_meta.json"))
+        atomic_pickle_dump({"paths": self.paths, "metadata": self.metadata},
+                           os.path.join(directory, "index_host.pkl"))
 
     @classmethod
     def load(cls, directory: str, *, use_pallas: Optional[bool] = None,
@@ -606,6 +635,10 @@ class FlatIndex:
         idx = cls(meta["dimension"], meta["metric"], nlist=meta.get("nlist", 0),
                   nprobe=meta.get("nprobe", 32), use_pallas=use_pallas,
                   use_float16=meta.get("use_float16", False),
+                  # capacity mode survives the roundtrip: loading a 1M-row
+                  # single-buffer index must not rebuild the gather3
+                  # relayout the mode exists to avoid (OOM on one chip)
+                  single_buffer=meta.get("single_buffer", False),
                   # training knobs survive the roundtrip so a post-load
                   # add/retrain reproduces the saved quantizer's regime
                   kmeans_iters=int(meta.get("kmeans_iters", 25)),
@@ -635,8 +668,13 @@ def _dus(arr, update, start):
 
 
 def _assign_cells(vectors: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
+    # HIGHEST: FAISS assigns rows to cells in exact f32; default matmul
+    # precision flips near-tied assignments on TPU (build-time-only cost).
     d = (jnp.sum(vectors ** 2, -1, keepdims=True)
-         - 2.0 * vectors @ centroids.T
+         - 2.0 * jax.lax.dot_general(
+             vectors, centroids, (((1,), (1,)), ((), ())),
+             preferred_element_type=jnp.float32,
+             precision=jax.lax.Precision.HIGHEST)
          + jnp.sum(centroids ** 2, -1)[None, :])
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
 
@@ -1007,8 +1045,15 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
         # probed cells are masked. Same candidate set as list-based IVF —
         # on TPU the masked flat scan is itself the fast path (sequential
         # list gathers would defeat the MXU), so this trades no recall.
+        # HIGHEST precision: must probe the SAME cells as the gather-probed
+        # paths (ivf_gather.py), which quantize at HIGHEST — default bf16ish
+        # matmul precision was measured to flip near-tied centroid ranks and
+        # hence the candidate set (FAISS probes in exact f32).
         qc = (jnp.sum(q ** 2, -1, keepdims=True)
-              - 2.0 * q @ centroids.T
+              - 2.0 * jax.lax.dot_general(
+                  q, centroids, (((1,), (1,)), ((), ())),
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
               + jnp.sum(centroids ** 2, -1)[None, :])  # [B, nlist]
         nprobe_eff = min(nprobe, centroids.shape[0])
         _, probe_cells = jax.lax.top_k(-qc, nprobe_eff)  # [B, nprobe]

@@ -200,6 +200,11 @@ def ivf_gather_search(q, vectors, xsq, ids, exclude_ids, centroids,
                                 (b, overflow.shape[0]))], axis=1)  # [B, C]
     qsq = jnp.einsum("bd,bd->b", q, q, precision=hi)
 
+    # Static candidate count can undercut k on tiny tables (span rounds
+    # to 8); clamp the top_k and pad results to k like the masked scan.
+    n_cand = cand.shape[1]
+    kk = min(k, n_cand)
+
     def one(args):
         qi, ci, ei, qsq_i = args
         safe = jnp.maximum(ci, 0)
@@ -212,10 +217,14 @@ def ivf_gather_search(q, vectors, xsq, ids, exclude_ids, centroids,
         cid = jnp.take(ids, safe)
         bad = (ci < 0) | (cid == ei)
         scores = jnp.where(bad, -jnp.inf, scores)
-        top, pos = jax.lax.top_k(scores, k)
+        top, pos = jax.lax.top_k(scores, kk)
         return top, jnp.take(ci, pos)
 
     top, idx = jax.lax.map(one, (q, cand, exclude_ids, qsq))
+    if kk < k:
+        pad = ((0, 0), (0, k - kk))
+        top = jnp.pad(top, pad, constant_values=-jnp.inf)
+        idx = jnp.pad(idx, pad, constant_values=-1)
     valid = jnp.isfinite(top)
     dists = jnp.where(valid, -top, jnp.inf)
     idx = jnp.where(valid, idx, -1).astype(jnp.int32)
@@ -270,6 +279,10 @@ def ivf_gather_search_chunked(q, vectors, xsq, ids, exclude_ids, centroids,
     sel = jnp.take_along_axis(cand_ch, order, axis=1)  # [B, budget]
     qsq = jnp.einsum("bd,bd->b", q, q, precision=hi)
     overflowed = jnp.any(n_valid_ch > budget_eff)
+    # Static candidate counts can undercut k on tiny tables; clamp the
+    # top_k in both branches (they must agree on shape) and pad to k.
+    cap = vectors.shape[0]
+    kk = min(k, budget_eff * csz, cap)
 
     def gather_branch(_):
         def one(args):
@@ -286,7 +299,7 @@ def ivf_gather_search_chunked(q, vectors, xsq, ids, exclude_ids, centroids,
             cid = jnp.take(ids, safe)
             bad = (rows < 0) | (cid == ei)
             scores = jnp.where(bad, -jnp.inf, scores)
-            top, p = jax.lax.top_k(scores, k)
+            top, p = jax.lax.top_k(scores, kk)
             return top, jnp.take(rows, p)
 
         return jax.lax.map(one, (q, sel, exclude_ids, qsq))
@@ -298,7 +311,6 @@ def ivf_gather_search_chunked(q, vectors, xsq, ids, exclude_ids, centroids,
         member = member.at[
             jnp.arange(b, dtype=jnp.int32)[:, None], probe].set(True)
         probe_mask = jnp.take(member, cells, axis=1, mode="clip")  # [B, cap]
-        cap = vectors.shape[0]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
         qm = q.astype(vectors.dtype)
         qx = jax.lax.dot_general(
@@ -316,10 +328,14 @@ def ivf_gather_search_chunked(q, vectors, xsq, ids, exclude_ids, centroids,
         qx2 = jnp.einsum("bd,brd->br", q, vs, precision=hi)
         s2 = -(qsq[:, None] - 2.0 * qx2 + jnp.take(xsq, ci))
         s2 = jnp.where(jnp.isfinite(cs), s2, -jnp.inf)
-        top, p = jax.lax.top_k(s2, k)
+        top, p = jax.lax.top_k(s2, kk)
         return top, jnp.take_along_axis(ci, p, axis=1)
 
     top, idx = jax.lax.cond(overflowed, scan_branch, gather_branch, None)
+    if kk < k:
+        pad = ((0, 0), (0, k - kk))
+        top = jnp.pad(top, pad, constant_values=-jnp.inf)
+        idx = jnp.pad(idx, pad, constant_values=-1)
     valid = jnp.isfinite(top)
     dists = jnp.where(valid, -top, jnp.inf)
     idx = jnp.where(valid, idx, -1).astype(jnp.int32)

@@ -254,7 +254,13 @@ class QuantizedIndex:
             paths: Sequence[str], metadata: Optional[Sequence[dict]] = None,
             ids: Optional[Sequence[int]] = None) -> None:
         from radad_tpu.data.manifest import file_id
+        from radad_tpu.utils.transfer import device_to_host, is_device_array
 
+        if is_device_array(vectors):
+            # Quantization runs host-side; pull chunked instead of letting
+            # ascontiguousarray do one monolithic device→host transfer
+            # (the pipeline passes device-resident embeddings here).
+            vectors = device_to_host(vectors)
         vectors = np.ascontiguousarray(vectors, np.float32)
         if self.metric == "COSINE":
             vectors = vectors / np.maximum(
@@ -449,13 +455,18 @@ class QuantizedIndex:
         if self.centroids is not None:
             arrays["centroids"] = self._centroids_host
             arrays["cells"] = np.asarray(self.cells)[: self.n]
-        np.savez(os.path.join(directory, "sq8_arrays.npz"), **arrays)
-        with open(os.path.join(directory, "sq8_meta.json"), "w") as f:
-            json.dump({"dimension": self.dimension, "metric": self.metric,
-                       "n": self.n,
-                       "residual_nlist": self.residual_nlist}, f)
-        with open(os.path.join(directory, "sq8_host.pkl"), "wb") as f:
-            pickle.dump({"paths": self.paths, "metadata": self.metadata}, f)
+        # atomic (temp + rename): see FlatIndex.save
+        from radad_tpu.utils.atomic_io import (atomic_json_dump,
+                                               atomic_pickle_dump,
+                                               atomic_savez)
+
+        atomic_savez(os.path.join(directory, "sq8_arrays.npz"), **arrays)
+        atomic_json_dump({"dimension": self.dimension, "metric": self.metric,
+                          "n": self.n,
+                          "residual_nlist": self.residual_nlist},
+                         os.path.join(directory, "sq8_meta.json"))
+        atomic_pickle_dump({"paths": self.paths, "metadata": self.metadata},
+                           os.path.join(directory, "sq8_host.pkl"))
 
     @classmethod
     def load(cls, directory: str, *,

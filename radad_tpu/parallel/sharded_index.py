@@ -116,8 +116,13 @@ def sharded_retrieve(
         mask = ((~valid_loc) | row_excl)[None, :]
         if ivf_args:
             cents, cells_loc = ivf_args
+            # HIGHEST: probe the same cells as every other IVF path
+            # (flat.py masked scan, ivf_gather.py) — see flat.py note.
             qc = (jnp.sum(q_loc ** 2, -1, keepdims=True)
-                  - 2.0 * q_loc @ cents.T
+                  - 2.0 * jax.lax.dot_general(
+                      q_loc, cents, (((1,), (1,)), ((), ())),
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
                   + jnp.sum(cents ** 2, -1)[None, :])  # [b, nlist]
             nprobe_eff = min(nprobe, cents.shape[0])
             _, probe_cells = jax.lax.top_k(-qc, nprobe_eff)

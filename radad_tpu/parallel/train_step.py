@@ -58,7 +58,12 @@ def make_parallel_train_step(model, encoder, config, opt, mesh: Mesh,
 
     core_step, _ = make_step_fns(
         model, opt, retrieve, k=config.top_k, metric=metric, n_valid=0,
-        grad_checkpoint=config.use_gradient_checkpointing)
+        grad_checkpoint=config.use_gradient_checkpointing,
+        # forward EVERY step-behavior knob the pipeline honors — a knob
+        # silently dropped here would make the two paths drift despite
+        # sharing the step core (e.g. a mesh-path ablation run would
+        # quietly train WITH retrieval)
+        ablate_retrieval=config.ablate_retrieval)
 
     def step(variables, opt_state, enc_params, index_args, audio,
              batch_labels, exclude_ids, valid, pos_weight, rng):

@@ -23,6 +23,7 @@ metrics.csv / summary.json / ROC-DET artifact stream.
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import time
@@ -393,6 +394,7 @@ class DetectionPipeline:
             lambda e, i, v: jnp.take(e, i, axis=0)
             * v[:, None].astype(e.dtype))
         self._save_thread = None  # async index persistence (join in train)
+        self._save_exc = None  # exception captured by the save thread
         # jitted end-to-end predict programs (embed→retrieve+fallback→
         # model), cached per (metric, n_valid, k, exclude_mode)
         self._predict_cache: Dict[Tuple, object] = {}
@@ -546,15 +548,11 @@ class DetectionPipeline:
                 exclude_mode=exclude_mode, centroids=cents, cells=cls)
         vectors, labels, ids, xsq = index_args[:4]
         if self.mesh is None and len(index_args) == 11:
-            from radad_tpu.index.ivf_gather import default_chunk_budget
-
             cents, chunk_rows, cell_chunks, cells = index_args[7:11]
             nprobe = min(self.index.nprobe, cell_chunks.shape[0])
             # budget from HOST index state (concrete, not traced): the
             # count-weighted chunk statistic baked into this trace.
-            budget = default_chunk_budget(
-                np.asarray(self.index.ivf_cell_chunks),
-                self.index.ivf_counts, nprobe)
+            budget = self.index.chunk_budget(nprobe)
             touched = tpp.shape[0] * budget * chunk_rows.shape[1]
             if prefer_ivf_gather and 2 * touched < n_valid:
                 return retrieve_on_device_ivf_gather_chunked(
@@ -592,18 +590,15 @@ class DetectionPipeline:
         ivf_sig = None
         if (not self.is_quantized and self.index.metric == "IVF"
                 and getattr(self.index, "ivf_chunk_rows", None) is not None):
-            from radad_tpu.index.ivf_gather import default_chunk_budget
-
             # budget joins the key too: a retrain can shift cell balance
             # (and hence the count-weighted budget) without changing
             # table shapes — a stale baked budget is only a latency
             # drift (candidate completeness is unconditional), but the
-            # key makes it impossible.
+            # key makes it impossible. chunk_budget() is host-cached:
+            # no per-request device pull for the cache key.
             nprobe = min(self.index.nprobe,
                          self.index.ivf_cell_chunks.shape[0])
-            budget = default_chunk_budget(
-                np.asarray(self.index.ivf_cell_chunks),
-                self.index.ivf_counts, nprobe)
+            budget = self.index.chunk_budget(nprobe)
             ivf_sig = (self.index.nprobe, budget,
                        self.index.ivf_chunk_rows.shape,
                        self.index.ivf_cell_chunks.shape)
@@ -818,12 +813,20 @@ class DetectionPipeline:
         if save and async_save:
             # Persist in the background: the d2h pull + npz write of an
             # ITW-scale DB costs ~30 s through this environment's relay
-            # and has no consumer before train() ends (train() joins).
+            # and has no consumer before train() ends (train() joins —
+            # also on its failure path — and re-raises save errors; the
+            # writes themselves are atomic, see FlatIndex.save).
             import threading
 
-            self._save_thread = threading.Thread(
-                target=self.index.save, args=(self.config.vector_db_path,),
-                daemon=True)
+            def _save_async():
+                try:
+                    self.index.save(self.config.vector_db_path)
+                except BaseException as e:  # surfaced at _join_save
+                    self._save_exc = e
+
+            self._save_exc = None
+            self._save_thread = threading.Thread(target=_save_async,
+                                                 daemon=True)
             self._save_thread.start()
         elif save:
             self.index.save(self.config.vector_db_path)
@@ -889,13 +892,28 @@ class DetectionPipeline:
 
     # ------------------------------------------------------------------
     def _join_save(self):
-        """Wait for an in-flight async index save (no-op otherwise)."""
+        """Wait for an in-flight async index save (no-op otherwise); a
+        failure inside the save thread is re-raised HERE — 'DB saved'
+        must never be assumed when it was not."""
         if self._save_thread is not None:
             self._save_thread.join()
             self._save_thread = None
+            exc, self._save_exc = self._save_exc, None
+            if exc is not None:
+                raise RuntimeError("async index save failed") from exc
 
     def train(self, train_manifest: Manifest,
               val_manifest: Optional[Manifest] = None) -> Dict:
+        # The async DB save must be joined on EVERY exit path: an epoch
+        # that raises (OOM, Ctrl-C) otherwise kills the daemon writer
+        # mid-file on interpreter exit.
+        try:
+            return self._train_impl(train_manifest, val_manifest)
+        finally:
+            self._join_save()
+
+    def _train_impl(self, train_manifest: Manifest,
+                    val_manifest: Optional[Manifest] = None) -> Dict:
         cfg = self.config
         if val_manifest is not None and cfg.prevent_data_leakage:
             validate_no_leakage(train_manifest, val_manifest)
@@ -1290,6 +1308,7 @@ class DetectionPipeline:
 
     def load_vector_database(self) -> bool:
         path = self.config.vector_db_path
+        self._check_db_dimension(path)
         if self.is_quantized:
             from radad_tpu.index.quantized import QuantizedIndex
 
@@ -1310,6 +1329,28 @@ class DetectionPipeline:
         self._train_step = None
         self._eval_step = None
         return True
+
+    def _check_db_dimension(self, path: str) -> None:
+        """Fail fast, with the likely fix, when a saved DB's embedding
+        dimension disagrees with the configured encoder — otherwise the
+        mismatch surfaces as a bare dot_general shape error deep inside
+        the jitted predict graph (e.g. DB built with --feature_extractor
+        whisper, predict run with the default wav2vec2)."""
+        for meta_name in ("index_meta.json", "sq8_meta.json"):
+            meta_path = os.path.join(path, meta_name)
+            if not os.path.exists(meta_path):
+                continue
+            with open(meta_path) as f:
+                saved_dim = json.load(f).get("dimension")
+            if saved_dim is not None and saved_dim != self.tpp_dim:
+                raise ValueError(
+                    f"saved vector DB at {path} has dimension {saved_dim}, "
+                    f"but the configured encoder "
+                    f"('{self.config.feature_extractor_type}') produces "
+                    f"{self.tpp_dim}-d embeddings. Re-run with the "
+                    f"--feature_extractor (and model size) the DB was "
+                    f"built with, or rebuild the DB.")
+            return
 
 
 def print_dataset_statistics(manifests: Dict[str, Manifest]) -> None:

@@ -19,29 +19,46 @@ import numpy as np
 _DEFAULT_ROWS = 4096
 
 
-def device_to_host(arr, rows_per_chunk: int = _DEFAULT_ROWS) -> np.ndarray:
+def device_to_host(arr, rows_per_chunk: int = _DEFAULT_ROWS,
+                   limit: int | None = None) -> np.ndarray:
     """Chunked device→host copy of a (possibly jax) array.
 
     Splits along axis 0 so each chunk is an independent transfer; the
-    result is a contiguous host ndarray equal to ``np.asarray(arr)``.
-    Small arrays (or host arrays) are converted directly.
+    result is a contiguous host ndarray equal to ``np.asarray(arr)``
+    (bfloat16 inputs always come back float32 — numpy has no bf16 — on
+    every path, chunked or not). Small arrays (or host arrays) are
+    converted directly. ``limit`` bounds the rows pulled along axis 0
+    (``np.asarray(arr)[:limit]`` without ever materializing the full
+    array on either side — capacity-padded device buffers can exceed
+    both host RAM and spare HBM as f32).
     """
     if isinstance(arr, np.ndarray):
-        return arr
+        return arr if limit is None else arr[:limit]
     shape = getattr(arr, "shape", None)
+    is_bf16 = shape is not None and arr.dtype.name == "bfloat16"
+    if shape and limit is not None and arr.ndim >= 1:
+        shape = (min(shape[0], int(limit)),) + tuple(shape[1:])
     if not shape or shape[0] <= rows_per_chunk or arr.ndim < 2:
+        if is_bf16:
+            import jax.numpy as jnp
+            if shape and arr.ndim >= 1 and shape[0] < arr.shape[0]:
+                arr = arr[:shape[0]]
+            return np.asarray(arr.astype(jnp.float32))
+        if shape and arr.ndim >= 1 and shape[0] < arr.shape[0]:
+            arr = arr[:shape[0]]
         return np.asarray(arr)
-    out = np.empty(shape, dtype=np.dtype(str(arr.dtype))
-                   if arr.dtype.name != "bfloat16" else np.float32)
-    if arr.dtype.name == "bfloat16":
+    out = np.empty(shape, dtype=np.float32 if is_bf16
+                   else np.dtype(str(arr.dtype)))
+    if is_bf16:
         # numpy has no bf16: pull as f32 (exact superset)
         import jax.numpy as jnp
         for lo in range(0, shape[0], rows_per_chunk):
-            out[lo:lo + rows_per_chunk] = np.asarray(
-                arr[lo:lo + rows_per_chunk].astype(jnp.float32))
+            hi = min(lo + rows_per_chunk, shape[0])
+            out[lo:hi] = np.asarray(arr[lo:hi].astype(jnp.float32))
         return out
     for lo in range(0, shape[0], rows_per_chunk):
-        out[lo:lo + rows_per_chunk] = np.asarray(arr[lo:lo + rows_per_chunk])
+        hi = min(lo + rows_per_chunk, shape[0])
+        out[lo:hi] = np.asarray(arr[lo:hi])
     return out
 
 

@@ -20,8 +20,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped on purpose: a session-scoped generator's stream
+    # position depends on WHICH tests ran before (pytest selection /
+    # ordering), so any data-sensitive test becomes order-dependently
+    # flaky (bit us: near-tie neighbor sets under -k selections). Each
+    # test now draws the same deterministic stream in isolation.
     return np.random.default_rng(42)
 
 

@@ -112,3 +112,67 @@ def test_segment_counts_nonstandard_lengths():
     assert num_segments(160000, 32000, 16000) == 9
     # clip shorter than one window → 1
     assert num_segments(100, 32000, 16000) == 1
+
+
+def test_device_to_host_limit_and_bf16_dtype():
+    """device_to_host: (a) bf16 inputs come back float32 on EVERY path —
+    chunked AND the small-array early return (callers must not get a
+    size-dependent dtype); (b) limit=n bounds the rows pulled so a
+    capacity-padded buffer is never materialized in full on either side."""
+    import jax.numpy as jnp
+
+    from radad_tpu.utils.transfer import device_to_host
+
+    x = np.arange(20 * 4, dtype=np.float32).reshape(20, 4)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+
+    small = device_to_host(xb)  # early-return path (rows <= chunk)
+    assert small.dtype == np.float32
+    np.testing.assert_allclose(small, x, atol=0.5)  # bf16 rounding
+
+    chunked = device_to_host(xb, rows_per_chunk=8)  # chunked path
+    assert chunked.dtype == np.float32
+    np.testing.assert_array_equal(small, chunked)
+
+    lim = device_to_host(xb, rows_per_chunk=8, limit=13)
+    assert lim.shape == (13, 4) and lim.dtype == np.float32
+    np.testing.assert_array_equal(lim, chunked[:13])
+
+    # f32 device arrays: limit on both paths, host ndarray passthrough
+    xf = jnp.asarray(x)
+    np.testing.assert_array_equal(device_to_host(xf, limit=7), x[:7])
+    np.testing.assert_array_equal(
+        device_to_host(xf, rows_per_chunk=8, limit=17), x[:17])
+    np.testing.assert_array_equal(device_to_host(x, limit=5), x[:5])
+    # 1-D bf16 early return also converts
+    v = device_to_host(jnp.ones((5,), jnp.bfloat16))
+    assert v.dtype == np.float32
+
+
+def test_async_save_failure_raises_at_join(tmp_path):
+    """A failure inside the background DB-save thread must surface at the
+    join — 'DB saved' is never silently assumed (the thread used to
+    swallow exceptions)."""
+    import pytest as _pytest
+
+    from radad_tpu.config import Config
+    from radad_tpu.train.pipeline import DetectionPipeline
+
+    cfg = Config().replace(data_root=str(tmp_path),
+                           vector_db_path=str(tmp_path / "vdb"))
+    pipe = DetectionPipeline.__new__(DetectionPipeline)  # no heavy init
+    pipe._save_thread = None
+    pipe._save_exc = None
+    pipe._join_save()  # no-op without a thread
+
+    import threading
+
+    def boom():
+        pipe._save_exc = RuntimeError("disk full")
+
+    pipe._save_thread = threading.Thread(target=boom)
+    pipe._save_thread.start()
+    with _pytest.raises(RuntimeError, match="async index save failed"):
+        pipe._join_save()
+    assert pipe._save_thread is None and pipe._save_exc is None
+    del cfg

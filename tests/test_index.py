@@ -1310,3 +1310,105 @@ def test_sq8_capacity_hint_preallocates(rng):
     dp, ip_ = plain.search(q, 5)
     np.testing.assert_array_equal(ih, ip_)
     np.testing.assert_allclose(dh, dp, rtol=1e-6)
+
+
+def test_single_buffer_save_load_roundtrip(rng, tmp_path):
+    """Capacity mode survives persistence: load() of a single-buffer bf16
+    index must NOT rebuild the gather3 relayout the mode exists to avoid
+    (an 11.45 GB HLO temp at 1M x 5376 -> OOM on one chip) and must
+    search identically to the saved index."""
+    n, d, k = 600, 256, 5
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = FlatIndex(d, "L2", use_float16=True, single_buffer=True)
+    idx.add(x, np.zeros(n, np.float32), [f"f{i}.wav" for i in range(n)])
+    assert idx.gather3 is None  # the mode's defining property
+    idx.save(str(tmp_path))
+    loaded = FlatIndex.load(str(tmp_path))
+    assert loaded.single_buffer
+    assert loaded.use_float16
+    assert loaded.gather3 is None  # not rebuilt on load
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    d0, i0 = idx.search(q, k)
+    d1, i1 = loaded.search(q, k)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)
+
+
+def test_save_atomic_no_tmp_leftovers(rng, tmp_path):
+    """save() writes every file via temp+rename (an interrupted background
+    save must never leave a truncated npz beside a stale meta): after a
+    save - and after a second overwriting save - the directory holds only
+    the three final files."""
+    import os
+
+    n, d = 64, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = FlatIndex(d, "L2")
+    idx.add(x, np.zeros(n, np.float32), [f"f{i}.wav" for i in range(n)])
+    idx.save(str(tmp_path))
+    idx.add(x[:8] + 1.0, np.ones(8, np.float32),
+            [f"g{i}.wav" for i in range(8)])
+    idx.save(str(tmp_path))  # overwrite in place
+    names = sorted(os.listdir(str(tmp_path)))
+    assert names == ["index_arrays.npz", "index_host.pkl",
+                     "index_meta.json"]
+    loaded = FlatIndex.load(str(tmp_path))
+    assert loaded.ntotal == n + 8
+
+
+def test_ivf_gather_k_exceeds_candidates(rng):
+    """Forcing the gather path (gather=True, a documented API) with k
+    larger than the static candidate set (tiny spans/budgets) must return
+    padded (+inf, -1) rows like the masked scan, not crash in top_k."""
+    import jax.numpy as jnp
+
+    from radad_tpu.index.ivf_gather import (ivf_gather_search,
+                                            ivf_gather_search_chunked)
+
+    d, n = 16, 120
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = FlatIndex(d, "IVF", nlist=16, nprobe=1)
+    idx.add(x, np.zeros(n, np.float32), [f"f{i}.wav" for i in range(n)])
+    q = x[:3] + 0.01
+    k = 64  # > nprobe_eff * span + overflow for this tiny table
+    excl = jnp.full((3,), -2, jnp.int32)
+    dg, ig = ivf_gather_search(
+        jnp.asarray(q), idx.vectors, idx.norms_sq, idx.ids, excl,
+        idx.centroids, idx.ivf_table, idx.ivf_overflow, k, nprobe=1)
+    dg, ig = np.asarray(dg), np.asarray(ig)
+    assert dg.shape == (3, k) and ig.shape == (3, k)
+    assert (ig[:, -1] == -1).all() and np.isinf(dg[:, -1]).all()
+    # valid prefix agrees with the masked scan's top rows
+    dm, im = idx.search(q, k, gather=False)
+    for r in range(3):
+        got = [i for i in ig[r] if i >= 0]
+        assert got == [i for i in im[r][: len(got)]]
+
+    dc, ic = ivf_gather_search_chunked(
+        jnp.asarray(q), idx.vectors, idx.norms_sq, idx.ids, excl,
+        idx.centroids, idx.ivf_chunk_rows, idx.ivf_cell_chunks, idx.cells,
+        k, nprobe=1, budget=1, n_valid=idx.n)
+    dc, ic = np.asarray(dc), np.asarray(ic)
+    assert dc.shape == (3, k) and ic.shape == (3, k)
+    # end-to-end: search(gather=True) must not crash either
+    ds, is_ = idx.search(q, k, gather=True)
+    assert ds.shape == (3, k)
+
+
+def test_chunk_budget_cached_no_device_pull(rng):
+    """search()'s gather-dispatch budget comes from a host-side cache —
+    the serving hot path must not re-pull the chunk table device->host
+    per call (finding: ~10 ms/request through a relay)."""
+    d, n = 16, 400
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = FlatIndex(d, "IVF", nlist=8, nprobe=2)
+    idx.add(x, np.zeros(n, np.float32), [f"f{i}.wav" for i in range(n)])
+    b1 = idx.chunk_budget(2)
+    assert idx._chunk_budget_cache[2] == b1
+    # poke the cache: search must use it (no recompute from device state)
+    idx._chunk_budget_cache[2] = b1  # same value; identity check via call
+    assert idx.chunk_budget(2) == b1
+    # a retrain (add -> _train_ivf -> _build_gather_tables) resets it
+    idx.add(x[:16] + 2.0, np.zeros(16, np.float32),
+            [f"g{i}.wav" for i in range(16)])
+    assert 2 not in idx._chunk_budget_cache or idx.chunk_budget(2) >= 1

@@ -11,7 +11,10 @@ from radad_tpu.models import introspect as I
 
 
 @pytest.fixture(scope="module")
-def small_model(rng):
+def small_model():
+    # own rng: the shared ``rng`` fixture is function-scoped (on purpose —
+    # see conftest) and cannot back a module-scoped fixture
+    rng = np.random.default_rng(42)
     cfg = Config().replace(use_layer_norm=True, use_batch_norm=False)
     d = 7 * 16
     model = build_radad_model(cfg, tpp_dim=d)
