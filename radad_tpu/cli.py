@@ -28,8 +28,11 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Audio Deepfake Detection (TPU)")
     p.add_argument("--mode", type=str, required=True,
-                   choices=["train", "evaluate", "predict"],
-                   help="Operation mode")
+                   choices=["train", "evaluate", "predict", "build_db"],
+                   help="Operation mode (build_db: build or incrementally "
+                        "extend the vector DB from the training split "
+                        "without training — the reference can only build "
+                        "its index inside train, pipeline.py:416-447)")
     p.add_argument("--data_fraction", type=float, default=1.0,
                    help="Fraction of data to use (class-balanced subsample)")
     p.add_argument("--model_prefix", type=str, default="final_model",
@@ -77,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference behavior; default caches them)")
     p.add_argument("--use_float16", action="store_true",
                    help="store the vector DB in bf16 (FAISS fp16 analogue)")
+    p.add_argument("--rebuild_db", action="store_true",
+                   help="build_db mode: discard any saved index and "
+                        "re-embed everything (default appends only clips "
+                        "not already indexed)")
     p.add_argument("--resume", action="store_true",
                    help="train mode: resume from the final_model checkpoint "
                         "(params + optimizer state + step; the reference "
@@ -183,6 +190,15 @@ def main(argv=None) -> int:
         print("Evaluation metrics:")
         for key, value in results.items():
             print(f"{key}: {value}")
+
+    elif args.mode == "build_db":
+        splits = load_manifests(
+            cfg.train_data_path, data_fraction=cfg.data_fraction,
+            train_split=cfg.train_split, seed=cfg.random_seed)
+        added = pipeline.update_vector_database(
+            splits["train"], append=not args.rebuild_db)
+        print(f"Vector DB: {pipeline.index.ntotal} vectors "
+              f"({added} added this run)")
 
     elif args.mode == "predict":
         if not args.audio_path:

@@ -89,6 +89,16 @@ class Manifest:
             "bonafide": int(np.sum(self.labels == 0.0)),
         }
 
+    def subset(self, indices) -> "Manifest":
+        """Row subset in the given order (used by the incremental DB
+        update to embed only clips not already in the index)."""
+        idx = np.asarray(indices, np.int64)
+        return Manifest(
+            paths=tuple(self.paths[int(i)] for i in idx),
+            labels=self.labels[idx],
+            speakers=tuple(self.speakers[int(i)] for i in idx),
+            ids=self.ids[idx])
+
 
 def _subsample_balanced(df: pd.DataFrame, fraction: float, seed: int) -> pd.DataFrame:
     """Class-balanced subsample: per label group, round(len*frac) rows, min 1."""

@@ -351,25 +351,9 @@ class DetectionPipeline:
         self.model = build_radad_model(config, self.tpp_dim)
         metric = config.vector_db_index_type.upper()
         self.is_quantized = metric == "SQ8"
-        if self.is_quantized:
-            from radad_tpu.index.quantized import QuantizedIndex
-
-            self.index = QuantizedIndex(
-                self.tpp_dim, "L2", build_accel=mesh is None,
-                residual_nlist=config.sq8_residual_nlist,
-                kmeans_iters=config.vector_db_kmeans_iters)
-        else:
-            self.index = FlatIndex(
-                self.tpp_dim, metric, nlist=config.vector_db_nlist,
-                kmeans_iters=config.vector_db_kmeans_iters,
-                ivf_balance=config.vector_db_ivf_balance,
-                nprobe=config.vector_db_nprobe, use_pallas=use_pallas,
-                use_float16=config.use_float16,
-                add_batch_size=config.vector_add_batch_size,
-                # mesh retrieval consumes the canonical arrays; don't pin
-                # ~1.5x DB of single-device accel copies in HBM
-                build_accel=mesh is None)
+        self._use_pallas_opt = use_pallas
         self.mesh = mesh
+        self.index = self._make_index()
         self.writer = ArtifactWriter(config.data_root)
         self.wandb = WandbShim(config.usewandb)
         self.step = 0
@@ -398,6 +382,29 @@ class DetectionPipeline:
         # jitted end-to-end predict programs (embed→retrieve+fallback→
         # model), cached per (metric, n_valid, k, exclude_mode)
         self._predict_cache: Dict[Tuple, object] = {}
+
+    # ------------------------------------------------------------------
+    def _make_index(self):
+        """Fresh empty index of the configured type (ctor + rebuild)."""
+        config = self.config
+        if self.is_quantized:
+            from radad_tpu.index.quantized import QuantizedIndex
+
+            return QuantizedIndex(
+                self.tpp_dim, "L2", build_accel=self.mesh is None,
+                residual_nlist=config.sq8_residual_nlist,
+                kmeans_iters=config.vector_db_kmeans_iters)
+        return FlatIndex(
+            self.tpp_dim, config.vector_db_index_type.upper(),
+            nlist=config.vector_db_nlist,
+            kmeans_iters=config.vector_db_kmeans_iters,
+            ivf_balance=config.vector_db_ivf_balance,
+            nprobe=config.vector_db_nprobe, use_pallas=self._use_pallas_opt,
+            use_float16=config.use_float16,
+            add_batch_size=config.vector_add_batch_size,
+            # mesh retrieval consumes the canonical arrays; don't pin
+            # ~1.5x DB of single-device accel copies in HBM
+            build_accel=self.mesh is None)
 
     # ------------------------------------------------------------------
     def _shard_batch(self, *arrays):
@@ -835,6 +842,60 @@ class DetectionPipeline:
         self._place_index_on_mesh()
         self._train_step = None  # capacity changed → rebuild jit steps
         self._eval_step = None
+
+    def update_vector_database(self, manifest: Manifest, *,
+                               append: bool = True,
+                               save: bool = True) -> int:
+        """Build or incrementally extend the reference DB without training.
+
+        The reference can only (re)build its FAISS index lazily inside
+        ``train`` (pipeline.py:416-447,786-789); a production deployment
+        needs to ingest newly vetted reference clips without re-embedding
+        the whole corpus or re-running training. ``append=True`` loads the
+        saved index when one exists, diffs ``manifest`` against the stored
+        clip basenames, embeds ONLY the unseen clips, and appends them —
+        O(new) device-side adds (``FlatIndex.add`` /
+        ``QuantizedIndex.add``'s incremental re-encode). ``append=False``
+        rebuilds from scratch. Returns the number of rows added."""
+        self._join_save()
+        if not append:
+            self.index = self._make_index()
+            self._predict_cache.clear()
+            self.build_vector_database(manifest, save=save)
+            return self.index.ntotal
+        if self.index.ntotal == 0:
+            meta = os.path.join(self.config.vector_db_path,
+                                "sq8_meta.json" if self.is_quantized
+                                else "index_meta.json")
+            if os.path.exists(meta):
+                self.load_vector_database()
+        if self.index.ntotal == 0:
+            self.build_vector_database(manifest, save=save)
+            return self.index.ntotal
+        existing = {os.path.basename(p) for p in self.index.paths}
+        new_idx = [i for i, b in enumerate(manifest.basenames)
+                   if b not in existing]
+        if not new_idx:
+            logger.info("Vector DB already covers all %d manifest clips",
+                        len(manifest))
+            return 0
+        sub = manifest.subset(new_idx)
+        logger.info("Appending %d new clips to the vector DB (%d already "
+                    "indexed)", len(sub), self.index.ntotal)
+        t0 = time.time()
+        vectors = self._embeddings_any(sub)
+        speakers = [{"speaker_id": s} for s in sub.speakers]
+        self.index.add(vectors, sub.labels.tolist(), list(sub.paths),
+                       metadata=speakers, ids=sub.ids.tolist())
+        if save:
+            self.index.save(self.config.vector_db_path)
+        logger.info("Vector DB extended: %d vectors (+%d) in %.1fs",
+                    self.index.ntotal, len(sub), time.time() - t0)
+        self._place_index_on_mesh()
+        self._train_step = None  # capacity changed → rebuild jit steps
+        self._eval_step = None
+        self._predict_cache.clear()
+        return len(sub)
 
     # ------------------------------------------------------------------
     def _build_steps(self):
