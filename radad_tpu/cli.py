@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="IVF centroid split-refinement strength (0 = plain "
                         "Lloyd = FAISS parity; ~1.0 balances cell sizes "
                         "for lower gather-probed serving latency)")
+    p.add_argument("--ivf_no_retrain_on_add", action="store_true",
+                   help="IVF: never retrain the coarse quantizer on "
+                        "append — assign new rows to the existing cells "
+                        "(FAISS IndexIVFFlat.add parity; pairs with "
+                        "--mode build_db incremental ingestion)")
     p.add_argument("--sq8_residual_nlist", type=int, default=None,
                    help="SQ8 residual-encoding codebook size (0 = plain "
                         "per-row SQ8; ~1024 recovers recall on clustered "
@@ -125,6 +130,8 @@ def config_from_args(args) -> "Config":
         over["vector_db_index_type"] = args.index_type.upper()
     if args.ivf_balance is not None:
         over["vector_db_ivf_balance"] = args.ivf_balance
+    if args.ivf_no_retrain_on_add:
+        over["vector_db_ivf_retrain_on_add"] = False
     if args.sq8_residual_nlist is not None:
         over["sq8_residual_nlist"] = args.sq8_residual_nlist
     if args.seed is not None:

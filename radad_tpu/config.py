@@ -103,6 +103,11 @@ class Config:
     # gather-probed serving path's latency scales with — see
     # index.ivf.kmeans and docs/PERFORMANCE.md).
     vector_db_ivf_balance: float = 0.0
+    # True (default): every index add() retrains the IVF coarse quantizer
+    # on the merged set. False: FAISS parity — train once, later adds only
+    # assign new rows to the existing cells (O(new); the right setting for
+    # incremental serving ingestion via --mode build_db at capacity scale).
+    vector_db_ivf_retrain_on_add: bool = True
     vector_add_batch_size: int = 10000
     # SQ8 residual encoding (index_type="SQ8"): int8 codes of x − c_cell
     # against a coarse k-means codebook of this size (0 = plain per-row

@@ -85,6 +85,7 @@ class FlatIndex:
                  nlist: int = 0, nprobe: int = 32,
                  kmeans_iters: int = 25,
                  ivf_balance: float = 0.0,
+                 ivf_retrain_on_add: bool = True,
                  use_pallas: Optional[bool] = None,
                  use_float16: bool = False,
                  single_buffer: bool = False,
@@ -123,6 +124,14 @@ class FlatIndex:
         # assignment/probe rule stays plain nearest-centroid either way
         # (see index.ivf.kmeans).
         self.ivf_balance = float(ivf_balance)
+        # True (default): every add() retrains the coarse quantizer on the
+        # merged set — better cells under distribution drift, one k-means
+        # per add() call. False: FAISS parity — IndexIVFFlat trains once
+        # (the reference trains on a ≤50k subset at creation,
+        # vector_database.py:122-130) and add() only ASSIGNS new rows to
+        # the existing cells (O(new) device work; the right setting for
+        # incremental serving ingestion at capacity scale).
+        self.ivf_retrain_on_add = bool(ivf_retrain_on_add)
         # Upload granularity for incremental adds — the reference's
         # config.vector_add_batch_size / add_vectors_batch chunking
         # (vector_database.py:108-151).
@@ -177,7 +186,8 @@ class FlatIndex:
 
     def add(self, vectors: np.ndarray, labels: Sequence[float],
             paths: Sequence[str], metadata: Optional[Sequence[dict]] = None,
-            ids: Optional[Sequence[int]] = None) -> None:
+            ids: Optional[Sequence[int]] = None, *,
+            donate: bool = False) -> None:
         """Append rows (vector_database.py:108-151's add_vectors_batch).
 
         Incremental and device-side: only the NEW rows are uploaded (in
@@ -185,7 +195,13 @@ class FlatIndex:
         device rows are never read back to the host, and the in-place
         update uses jit buffer donation so repeated chunked adds are O(new)
         per call, not O(total). Capacity grows by doubling (padded to the
-        1024-row quantum) so search shapes stay cache-stable."""
+        1024-row quantum) so search shapes stay cache-stable.
+
+        ``donate=True`` (device-array ``vectors`` only) lets the install
+        consume the caller's buffer instead of copying it — mandatory at
+        capacity scale, where an un-donated install holds two full DB
+        buffers transiently (2 × 10.7 GB at 1M × 5376 bf16 on a 16 GB
+        chip). The caller must not touch ``vectors`` afterwards."""
         from radad_tpu.data.manifest import file_id
         from radad_tpu.utils.transfer import device_to_host, is_device_array
 
@@ -194,7 +210,13 @@ class FlatIndex:
             # pipeline's DB build) are installed without a host round
             # trip — at ITW scale that round trip costs ~60 s through
             # this environment's relay (utils/transfer.py).
-            if vectors.dtype != jnp.float32:
+            # bf16 rows headed for bf16 storage skip the f32 upcast: at
+            # capacity scale that upcast is a 21.5 GB allocation for data
+            # the install would round straight back to bf16 (the stored
+            # rounded rows ARE the mode's ground truth).
+            keep_bf16 = (self.use_float16 and self.metric != "COSINE"
+                         and vectors.dtype == jnp.bfloat16)
+            if vectors.dtype != jnp.float32 and not keep_bf16:
                 vectors = jax.jit(lambda v: v.astype(jnp.float32))(vectors)
             if self.metric == "COSINE":
                 vectors = jax.jit(
@@ -221,17 +243,24 @@ class FlatIndex:
 
         if self.n == 0:
             self.upload_count += 1
-            self._install(vectors, labels, ids)
+            self._install(vectors, labels, ids, donate=donate)
             return
+        old_n = self.n
         bs = self.add_batch_size or n_new
         for i in range(0, n_new, bs):
             self._append_chunk(vectors[i:i + bs], labels[i:i + bs],
                                ids[i:i + bs])
         if self.metric == "IVF":
-            # Coarse quantizer retrains on the merged set (one chunked
-            # host pull bounded to the live rows — no full-capacity f32
-            # device copy; same semantics as _install).
-            self._train_ivf(device_to_host(self.vectors, limit=self.n))
+            if self.centroids is None or self.ivf_retrain_on_add:
+                # Coarse quantizer retrains on the merged set. The host
+                # pull is bounded to the k-means training subset (FAISS
+                # caps training at ≤50k rows) — pulling every live row
+                # is 21.5 GB at 1M×5376 through a slow link, for rows
+                # _train_ivf would slice away anyway.
+                self._train_ivf(device_to_host(
+                    self.vectors, limit=min(self.n, 50000)))
+            else:
+                self._extend_ivf(old_n)
 
     def _grow_to(self, new_cap: int) -> None:
         """Device-side capacity growth (no host transfer)."""
@@ -289,8 +318,8 @@ class FlatIndex:
         self.n = need
 
     def _install(self, vecs, labels: np.ndarray, ids: np.ndarray,
-                 ivf_state: Optional[Tuple[np.ndarray, np.ndarray]] = None
-                 ) -> None:
+                 ivf_state: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+                 donate: bool = False) -> None:
         """Install rows; ``ivf_state=(centroids, cells)`` restores a
         trained coarse quantizer (load path) instead of re-running
         k-means — FAISS's write_index/read_index persists the trained
@@ -301,11 +330,29 @@ class FlatIndex:
         store_dt = jnp.bfloat16 if self.use_float16 else jnp.float32
         from radad_tpu.utils.transfer import is_device_array
 
+        ivf_train_src = None  # set when the donate path consumes ``vecs``
         if is_device_array(vecs):
-            # Device-resident install: pad/cast in one jit, zero host traffic
-            self.vectors = jax.jit(
-                lambda v: jnp.pad(v, ((0, pad), (0, 0))).astype(store_dt)
-            )(vecs)
+            if donate and pad == 0 and vecs.dtype == store_dt:
+                # Zero-copy adoption: the caller's buffer IS the index.
+                self.vectors = vecs
+            elif donate:
+                # Pad/cast consuming the input — never two full DB
+                # buffers live at once (the capacity-scale requirement).
+                # The k-means training slice is materialized FIRST: the
+                # donation below deletes ``vecs``.
+                if self.metric == "IVF" and ivf_state is None:
+                    ivf_train_src = vecs[: min(vecs.shape[0], 50000)]
+                self.vectors = jax.jit(
+                    lambda v: jnp.pad(v, ((0, pad), (0, 0))).astype(
+                        store_dt), donate_argnums=0)(vecs)
+            else:
+                # Device-resident install: pad/cast in one jit, zero host
+                # traffic. NOT donated: the caller keeps its array (the
+                # pipeline passes its cached embedding matrix here and
+                # slices epoch batches from it afterwards).
+                self.vectors = jax.jit(
+                    lambda v: jnp.pad(v, ((0, pad), (0, 0))).astype(
+                        store_dt))(vecs)
         else:
             self.vectors = jnp.asarray(
                 np.pad(vecs, ((0, pad), (0, 0))), store_dt)
@@ -359,7 +406,8 @@ class FlatIndex:
             if ivf_state is not None:
                 self._restore_ivf(*ivf_state)
             else:
-                self._train_ivf(vecs)
+                self._train_ivf(vecs if ivf_train_src is None
+                                else ivf_train_src)
 
     def _restore_ivf(self, centroids: np.ndarray, cells: np.ndarray
                      ) -> None:
@@ -371,6 +419,24 @@ class FlatIndex:
         cells_p = np.pad(cells, (0, self._cap - self.n))
         self.cells = jnp.asarray(cells_p)
         self._build_gather_tables(cells_p, self.nlist_effective)
+
+    def _extend_ivf(self, old_n: int) -> None:
+        """FAISS-parity incremental add (``ivf_retrain_on_add=False``):
+        assign ONLY the rows appended since ``old_n`` to the existing
+        trained cells (faiss ``IndexIVFFlat.add`` never retrains) and
+        rebuild the inverted-list tables. O(new) device compute; the only
+        host traffic is the [cap] int32 cell vector (4 MB at 1M rows)."""
+        cells = np.array(self.cells)  # writable host copy
+        if cells.shape[0] < self._cap:  # capacity grew since training
+            cells = np.pad(cells, (0, self._cap - cells.shape[0]))
+        assign_j = jax.jit(_assign_cells)
+        chunk = 131_072
+        for lo in range(old_n, self.n, chunk):
+            hi = min(self.n, lo + chunk)
+            cells[lo:hi] = np.asarray(
+                assign_j(self.vectors[lo:hi], self.centroids))
+        self.cells = jnp.asarray(cells)
+        self._build_gather_tables(cells, self.nlist_effective)
 
     def _build_gather_tables(self, cells: np.ndarray, nlist: int) -> None:
         """Span + chunk inverted-list tables for the gather-probed path
@@ -417,7 +483,9 @@ class FlatIndex:
                         nlist, len(train))
             nlist = max(1, len(train))
         self.nlist_effective = nlist
-        cents, _ = kmeans(jnp.asarray(train), nlist,
+        # f32 cast covers bf16-storage installs where the training slice
+        # arrives as bf16 device rows (k-means itself runs in f32).
+        cents, _ = kmeans(jnp.asarray(train, jnp.float32), nlist,
                           iters=self.kmeans_iters, seed=0,
                           balance=self.ivf_balance)
         self.centroids = cents
@@ -622,7 +690,8 @@ class FlatIndex:
                     use_float16=self.use_float16,
                     single_buffer=self.single_buffer,
                     kmeans_iters=self.kmeans_iters,
-                    ivf_balance=self.ivf_balance)
+                    ivf_balance=self.ivf_balance,
+                    ivf_retrain_on_add=self.ivf_retrain_on_add)
         atomic_json_dump(meta, os.path.join(directory, "index_meta.json"))
         atomic_pickle_dump({"paths": self.paths, "metadata": self.metadata},
                            os.path.join(directory, "index_host.pkl"))
@@ -643,6 +712,8 @@ class FlatIndex:
                   # add/retrain reproduces the saved quantizer's regime
                   kmeans_iters=int(meta.get("kmeans_iters", 25)),
                   ivf_balance=float(meta.get("ivf_balance", 0.0)),
+                  ivf_retrain_on_add=bool(
+                      meta.get("ivf_retrain_on_add", True)),
                   build_accel=build_accel)
         data = np.load(os.path.join(directory, "index_arrays.npz"))
         with open(os.path.join(directory, "index_host.pkl"), "rb") as f:

@@ -399,6 +399,7 @@ class DetectionPipeline:
             nlist=config.vector_db_nlist,
             kmeans_iters=config.vector_db_kmeans_iters,
             ivf_balance=config.vector_db_ivf_balance,
+            ivf_retrain_on_add=config.vector_db_ivf_retrain_on_add,
             nprobe=config.vector_db_nprobe, use_pallas=self._use_pallas_opt,
             use_float16=config.use_float16,
             add_batch_size=config.vector_add_batch_size,

@@ -1245,6 +1245,99 @@ def test_extract_topm_kernel_parity(rng):
                               np.asarray(jnp.max(c, axis=-1))), (b, t)
 
 
+def test_add_donate_bf16_zero_copy(rng):
+    """Capacity-scale install contract: a device bf16 array added with
+    ``donate=True`` to a bf16 single-buffer index is adopted ZERO-COPY
+    (the caller's buffer IS the index — an un-donated install holds two
+    full DB buffers transiently, OOM at 1M × 5376 on a 16 GB chip), and
+    search over it matches the f32 oracle on the stored rounded rows."""
+    import jax.numpy as jnp
+
+    d, n = 256, 2048  # n a multiple of 1024 -> pad == 0 -> alias path
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    xbf = jnp.asarray(x, jnp.bfloat16)
+    idx = FlatIndex(d, "L2", use_float16=True, single_buffer=True,
+                    use_pallas=False)
+    idx.add(xbf, np.zeros(n, np.float32), [f"f{i}" for i in range(n)],
+            donate=True)
+    assert idx.vectors is xbf  # zero-copy adoption
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    _, got = idx.search(q, 5)
+    xf = np.asarray(xbf).astype(np.float32)
+    d2 = (np.sum(q ** 2, -1, keepdims=True) - 2.0 * q @ xf.T
+          + np.sum(xf ** 2, -1)[None, :])
+    want = np.argsort(d2, -1, kind="stable")[:, :5]
+    for r in range(4):
+        assert set(got[r]) == set(want[r])
+
+    # donate=False keeps the caller's array usable (the pipeline slices
+    # epoch batches from its cached embedding matrix after install).
+    x2 = jnp.asarray(x)
+    idx2 = FlatIndex(d, "L2", use_pallas=False)
+    idx2.add(x2, np.zeros(n, np.float32), [f"f{i}" for i in range(n)])
+    assert float(jnp.sum(x2[0])) == pytest.approx(float(np.sum(x[0])), rel=1e-5)
+
+    # donated install with pad > 0 still trains IVF (the training slice
+    # is captured before the buffer is consumed).
+    n3 = 1500  # not a multiple of 1024 -> pad path
+    x3 = jnp.asarray(x[:n3], jnp.bfloat16)
+    idx3 = FlatIndex(d, "IVF", nlist=8, nprobe=8, kmeans_iters=4,
+                     use_float16=True, single_buffer=True, use_pallas=False)
+    idx3.add(x3, np.zeros(n3, np.float32), [f"f{i}" for i in range(n3)],
+             donate=True)
+    assert idx3.centroids is not None and idx3.ntotal == n3
+
+
+def test_ivf_incremental_add_no_retrain(rng, tmp_path, monkeypatch):
+    """``ivf_retrain_on_add=False``: appends assign new rows to the
+    EXISTING trained cells without re-running k-means (FAISS
+    ``IndexIVFFlat.add`` parity — the reference trains once at creation
+    on a ≤50k subset, vector_database.py:122-130), the inverted-list
+    tables are rebuilt, and the knob survives persistence."""
+    import jax.numpy as jnp
+
+    d, n = 32, 400
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = FlatIndex(d, "IVF", nlist=16, nprobe=16, kmeans_iters=8,
+                    ivf_retrain_on_add=False, use_pallas=False)
+    idx.add(x, np.zeros(n, np.float32), [f"f{i}.wav" for i in range(n)])
+    assert idx.centroids is not None
+    cents0 = np.asarray(idx.centroids).copy()
+
+    import radad_tpu.index.ivf as ivf_mod
+
+    def boom(*a, **kw):
+        raise AssertionError("incremental add must not re-run k-means")
+
+    monkeypatch.setattr(ivf_mod, "kmeans", boom)
+    extra = rng.standard_normal((37, d)).astype(np.float32) + 3.0
+    idx.add(extra, np.ones(37, np.float32),
+            [f"g{i}.wav" for i in range(37)])
+    assert idx.ntotal == n + 37
+    np.testing.assert_array_equal(np.asarray(idx.centroids), cents0)
+
+    # New rows landed in their true nearest cells.
+    d2 = (np.sum(extra ** 2, -1, keepdims=True)
+          - 2.0 * extra @ cents0.T + np.sum(cents0 ** 2, -1)[None, :])
+    np.testing.assert_array_equal(
+        np.asarray(idx.cells)[n:n + 37], np.argmin(d2, -1).astype(np.int32))
+
+    # Full-probe IVF search (nprobe = nlist) finds the appended rows —
+    # the gather/chunk tables were rebuilt to cover them.
+    dists, ids = idx.search(extra[:5], 1, nprobe=16)
+    np.testing.assert_array_equal(ids[:, 0], np.arange(n, n + 5))
+    assert np.all(dists[:, 0] < 1e-3)
+
+    # The knob round-trips through save/load; a post-load add still
+    # skips k-means.
+    idx.save(str(tmp_path / "vdb"))
+    loaded = FlatIndex.load(str(tmp_path / "vdb"), use_pallas=False)
+    assert loaded.ivf_retrain_on_add is False
+    loaded.add(extra[:4] - 2.0, np.zeros(4, np.float32),
+               [f"h{i}.wav" for i in range(4)])
+    assert loaded.ntotal == n + 37 + 4
+
+
 def test_ivf_save_load_no_retrain(rng, tmp_path, monkeypatch):
     """IVF persistence carries the trained quantizer: load() restores
     (centroids, cells, gather table) WITHOUT re-running k-means (FAISS
