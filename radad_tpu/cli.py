@@ -85,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference behavior; default caches them)")
     p.add_argument("--use_float16", action="store_true",
                    help="store the vector DB in bf16 (FAISS fp16 analogue)")
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="encoder forward in bfloat16 — the reference's AMP "
+                        "flag (config.py:73-87); measured 1.69x encoder "
+                        "throughput on v5e with quality tracking f32 on the "
+                        "synthetic benchmark (experiments/README.md)")
     p.add_argument("--rebuild_db", action="store_true",
                    help="build_db mode: discard any saved index and "
                         "re-embed everything (default appends only clips "
@@ -113,6 +118,7 @@ def config_from_args(args) -> "Config":
         use_layer_norm=True,
         cache_embeddings=not args.no_cache_embeddings,
         use_float16=args.use_float16,
+        use_mixed_precision=args.mixed_precision,
     )
     if args.data_path:
         over.update(train_data_path=args.data_path,

@@ -441,7 +441,16 @@ def serve(config, *, host: str = "0.0.0.0", port: int = 5000,
     state = AppState(config, pipeline, audio_dir, upload_dir)
     state.pipeline_error = err
     Handler.state = state
-    httpd = ThreadingHTTPServer((host, port), Handler)
+
+    class _Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5: under ≥16 concurrent
+        # clients the SYN queue overflows and connects get RST while the
+        # micro-batcher is mid-device-call (found by
+        # experiments/serve_load_test.py at the 1M-row scale).
+        request_queue_size = 128
+        daemon_threads = True
+
+    httpd = _Server((host, port), Handler)
     logger.info("serving on http://%s:%d (audio dir: %s)", host, port,
                 audio_dir)
     return httpd
@@ -459,6 +468,11 @@ def main(argv=None):
     p.add_argument("--max_duration", type=float, default=None,
                    help="Analyze uploads/recordings up to this many seconds "
                         "(long-audio mode) instead of the 3 s truncation")
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="Encoder forward in bfloat16 (1.69x measured on "
+                        "v5e) — recommended for serving; clip embeddings "
+                        "stay f32 after TPP so retrieval semantics are "
+                        "unchanged")
     args = p.parse_args(argv)
 
     from radad_tpu.config import Config
@@ -469,6 +483,7 @@ def main(argv=None):
         vector_db_path=os.path.join(args.data_root, "vector_db"),
         feature_extractor_type=args.feature_extractor,
         max_duration=args.max_duration,
+        use_mixed_precision=args.mixed_precision,
         use_batch_norm=False, use_layer_norm=True)
     httpd = serve(cfg, host=args.host, port=args.port,
                   model_prefix=args.model_prefix)

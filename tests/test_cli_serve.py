@@ -57,6 +57,27 @@ def monkeypatch_encoder():
         cli_mod.build_encoder = cli_saved
 
 
+def test_cli_flag_mapping():
+    """argparse → Config mapping for the round-3 knobs (no pipeline run)."""
+    from radad_tpu.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args([
+        "--mode", "train", "--mixed_precision", "--use_float16",
+        "--ivf_no_retrain_on_add", "--ivf_balance", "0.5",
+        "--sq8_residual_nlist", "256"])
+    cfg = config_from_args(args)
+    assert cfg.use_mixed_precision is True
+    assert cfg.use_float16 is True
+    assert cfg.vector_db_ivf_retrain_on_add is False
+    assert cfg.vector_db_ivf_balance == 0.5
+    assert cfg.sq8_residual_nlist == 256
+    # defaults stay reference-parity when flags are absent
+    cfg0 = config_from_args(build_parser().parse_args(["--mode", "train"]))
+    assert cfg0.use_mixed_precision is False
+    assert cfg0.vector_db_ivf_retrain_on_add is True
+    assert cfg0.vector_db_ivf_balance == 0.0
+
+
 def test_cli_evaluate_and_predict(cli_run, synthetic_dataset, capsys):
     from radad_tpu import cli
 
