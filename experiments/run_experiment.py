@@ -63,6 +63,13 @@ def main():
                    help="zero the retrieved neighbors in train/eval steps "
                         "(config.ablate_retrieval): measures how much the "
                         "retrieval path contributes to EER")
+    p.add_argument("--model_name", default=None,
+                   help="HF model id overriding the encoder family's "
+                        "default size (e.g. facebook/wav2vec2-large-lv60, "
+                        "microsoft/wavlm-large, openai/whisper-small) — "
+                        "architecture resolves from the preset table / a "
+                        "local config.json (models/encoder.py); weights "
+                        "load when a local checkpoint exists")
     p.add_argument("--whisper_fast", action="store_true",
                    help="whisper_pad_seconds=None: encode only the real "
                         "frames instead of padding every segment to 30 s "
@@ -96,6 +103,8 @@ def main():
         use_mixed_precision=args.mixed_precision,
         ablate_retrieval=args.ablate_retrieval,
         whisper_pad_seconds=None if args.whisper_fast else 30.0)
+    if args.model_name:
+        cfg = cfg.replace(**{f"{args.encoder}_model_name": args.model_name})
 
     splits = load_manifests(
         args.data_path, data_fraction=cfg.data_fraction,
@@ -129,6 +138,7 @@ def main():
     record = {
         "name": name,
         "encoder": args.encoder,
+        "model_name": args.model_name,
         "whisper_fast": bool(args.whisper_fast),
         "mixed_precision": bool(args.mixed_precision),
         "ablate_retrieval": bool(args.ablate_retrieval),
