@@ -83,7 +83,16 @@ def main() -> None:
     results = []
     for name, flags in CONFIGS:
         env = dict(os.environ)
-        env.pop("PALLAS_AXON_POOL_IPS", None)  # children run on the TPU
+        # children run on the TPU: restore the relay pool IPs that the
+        # parent's CPU-mode prefix blanked (pass the real value via
+        # RADAD_SWEEP_POOL_IPS, e.g.
+        #   RADAD_SWEEP_POOL_IPS="$PALLAS_AXON_POOL_IPS" \
+        #   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python ...)
+        real_pool = env.pop("RADAD_SWEEP_POOL_IPS", None)
+        if real_pool:
+            env["PALLAS_AXON_POOL_IPS"] = real_pool
+        else:
+            env.pop("PALLAS_AXON_POOL_IPS", None)
         env["JAX_PLATFORMS"] = "axon"
         if flags:
             env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
@@ -104,18 +113,28 @@ def main() -> None:
     canary = next((r for r in results
                    if r["config"].startswith("CANARY")
                    and "ms_per_batch" in r), None)
+    parse_deaths = [r["config"] for r in results
+                    if "Unknown flag in XLA_FLAGS" in r.get("error", "")]
     verdict = "inconclusive: no baseline measurement"
-    if base and canary:
-        # flags propagate iff the canary visibly regresses (or dies)
+    if base and parse_deaths:
+        # The client-side XLA flag parser FATALs on every xla_tpu_* flag:
+        # the client jaxlib is not built with the TPU compiler (compiles
+        # happen relay-side), so TPU flags cannot even be SET from the
+        # client. Profile-guided XLA flag tuning is structurally
+        # unavailable in this environment — a conclusive negative, not a
+        # null measurement.
+        verdict = (f"xla_tpu_* flags abort the CLIENT at flag parse "
+                   f"({len(parse_deaths)}/{len(results) - 1} configs: "
+                   f"'Unknown flag in XLA_FLAGS') — TPU compiler flags "
+                   f"cannot reach the relay's remote compile from this "
+                   f"client; flag tuning structurally unavailable here")
+    elif base and canary:
         if canary["ms_per_batch"] > 1.15 * base["ms_per_batch"]:
             verdict = "flags propagate; see per-config deltas"
         else:
             verdict = ("flags do NOT propagate through the relay's "
                        "remote compile (canary matched baseline) — "
                        "sweep inconclusive in this environment")
-    elif base and not canary:
-        verdict = ("flags propagate (canary failed to run); "
-                   "see per-config deltas")
     out = {"workload": "wav2vec2-base bf16 embed, B=128 clips "
                        "(256 segments), chain-timed",
            "results": results, "verdict": verdict}
