@@ -81,6 +81,57 @@ def synth_clip(rng: np.random.Generator, f0: float, dur: float, sr: int,
 HARD_FAMILIES = ("inharmonic", "quantize", "buzz", "lowpass", "tremolo",
                  "hum")
 
+# ---------------------------------------------------------------------------
+# SESSION mode (hard mode +): makes the benchmark RETRIEVAL-SENSITIVE by
+# construction. The plain hard-mode ablation is an honest null with a
+# random frozen encoder (neighbors are the same random projection of the
+# same per-clip statistics — no extra information; experiments/README.md
+# "Retrieval ablation"). Session mode restores the information asymmetry
+# RADAD's retrieval claim rests on: clips come in label-pure "recording
+# sessions" (same speaker, same channel EQ, same background texture, same
+# attack family) while the per-clip artifact STRENGTH stays independent
+# half-normal. A weak-artifact query is near-unclassifiable alone, but its
+# nearest neighbors in TPP space are its session-mates (the channel
+# fingerprint dominates the embedding distance), and their vectors carry
+# the session's average artifact evidence. The fingerprint itself is drawn
+# from the SAME distribution for both classes — it is a retrieval KEY, not
+# a label shortcut; neighbor labels are never fed to the model (reference
+# radad_model.py:32-41 consumes only neighbor vectors).
+# ---------------------------------------------------------------------------
+
+
+def _session_eq_mask(gains_db, n, sr):
+    """Smooth random EQ: interpolate anchor gains (log-spaced 50 Hz-7 kHz)
+    over the rfft bins of an n-sample clip."""
+    freqs = np.fft.rfftfreq(n, 1.0 / sr)
+    anchors = np.geomspace(50.0, 7000.0, num=len(gains_db))
+    logf = np.log(np.maximum(freqs, 1.0))
+    gains = np.interp(logf, np.log(anchors), gains_db,
+                      left=gains_db[0], right=gains_db[-1])
+    return 10.0 ** (gains / 20.0)
+
+
+def _apply_eq(wave, gains_db, sr):
+    spec = np.fft.rfft(wave)
+    spec *= _session_eq_mask(gains_db, len(wave), sr)
+    return np.fft.irfft(spec, n=len(wave))
+
+
+def make_session_params(rng: np.random.Generator) -> dict:
+    """Draw one session's channel fingerprint + level/noise operating
+    point. Identical distribution for spoof and bona-fide sessions."""
+    return {
+        # channel EQ: 8 anchor gains ~ N(0, 5 dB) — a strong, distinctive
+        # spectral tilt shared by every clip in the session
+        "eq_gains_db": rng.normal(0.0, 5.0, size=8),
+        # background texture: pink noise shaped by a second random EQ
+        # (e.g. fan / room / codec noise signature of the session)
+        "bg_gains_db": rng.normal(0.0, 8.0, size=8),
+        "snr_db": rng.uniform(18.0, 32.0),
+        "level_db": rng.uniform(-5.0, 5.0),
+        "dur": rng.uniform(1.6, 3.4),
+    }
+
 
 def _pink(rng, n):
     noise = rng.standard_normal(n)
@@ -98,7 +149,8 @@ def _lowpass(wave, sr, cutoff_hz):
 
 def synth_clip_hard(rng: np.random.Generator, f0: float, dur: float,
                     sr: int, spoof: bool, family: str,
-                    strength: float = 1.0) -> np.ndarray:
+                    strength: float = 1.0, session: dict = None
+                    ) -> np.ndarray:
     t = np.arange(int(sr * dur)) / sr
     vibrato = 1.0 + 0.01 * np.sin(2 * np.pi * 5.0 * t + rng.uniform(0, 6.28))
     wave = np.zeros_like(t)
@@ -140,14 +192,29 @@ def synth_clip_hard(rng: np.random.Generator, f0: float, dur: float,
             wave += (0.05 * s) * np.sin(2 * np.pi * 50.0 * t)
             wave = np.round(wave * 96) / 96
 
-    # additive pink noise at SNR ~ U(15, 35) dB — both classes
-    snr_db = rng.uniform(15.0, 35.0)
-    sig_rms = np.sqrt(np.mean(wave ** 2)) + 1e-9
-    noise_rms = sig_rms / (10.0 ** (snr_db / 20.0))
-    wave = wave + noise_rms * _pink(rng, len(t))
+    if session is not None:
+        # channel EQ on the (voice + artifact) signal: the session's
+        # strongest shared cue — what makes session-mates near neighbors
+        wave = _apply_eq(wave, session["eq_gains_db"], sr)
+        # session background texture at the session operating SNR
+        snr_db = session["snr_db"] + rng.uniform(-2.0, 2.0)
+        sig_rms = np.sqrt(np.mean(wave ** 2)) + 1e-9
+        noise_rms = sig_rms / (10.0 ** (snr_db / 20.0))
+        bg = _apply_eq(_pink(rng, len(t)), session["bg_gains_db"], sr)
+        wave = wave + noise_rms * bg / (np.std(bg) + 1e-9)
+        # per-clip level jitter is SMALL within a session (±1.5 dB around
+        # the session level) — gain is a channel property, not clip noise
+        wave *= 10.0 ** ((session["level_db"]
+                          + rng.uniform(-1.5, 1.5)) / 20.0)
+    else:
+        # additive pink noise at SNR ~ U(15, 35) dB — both classes
+        snr_db = rng.uniform(15.0, 35.0)
+        sig_rms = np.sqrt(np.mean(wave ** 2)) + 1e-9
+        noise_rms = sig_rms / (10.0 ** (snr_db / 20.0))
+        wave = wave + noise_rms * _pink(rng, len(t))
 
-    # level jitter ±6 dB
-    wave *= 10.0 ** (rng.uniform(-6.0, 6.0) / 20.0)
+        # level jitter ±6 dB
+        wave *= 10.0 ** (rng.uniform(-6.0, 6.0) / 20.0)
 
     envelope = np.minimum(1.0, np.minimum(t / 0.05, (dur - t) / 0.05))
     wave = wave * envelope * 0.5
@@ -182,6 +249,16 @@ def main():
     p.add_argument("--speaker_offset", type=int, default=0,
                    help="first speaker id (hard mode); offset eval dirs "
                         "for speaker-disjoint evaluation")
+    p.add_argument("--session_size", type=int, default=0,
+                   help="hard mode: group clips into label-pure recording "
+                        "sessions of this size sharing a channel "
+                        "fingerprint (EQ + background + level + duration) "
+                        "while per-clip artifact strength stays "
+                        "independent — makes the benchmark "
+                        "retrieval-sensitive (weak queries are "
+                        "disambiguated by session-mate neighbors). "
+                        "0 = off (per-clip draws, the committed hard-mode "
+                        "records)")
     args = p.parse_args()
 
     from radad_tpu.data.audio import write_wav
@@ -192,31 +269,61 @@ def main():
         if f not in HARD_FAMILIES:
             raise SystemExit(f"unknown attack family {f!r}; "
                              f"choose from {HARD_FAMILIES}")
+    if args.session_size > 0 and not args.hard:
+        raise SystemExit("--session_size requires --hard")
     os.makedirs(args.out, exist_ok=True)
     rows = []
+    session_map = {}
     for i in range(args.n):
-        spk = args.speaker_offset + (i % args.speakers)
-        f0 = 110.0 * (2.0 ** ((spk % 24) / 12.0)) * rng.uniform(0.98, 1.02)
-        dur = rng.uniform(1.0, 4.0)
-        if args.spoof_ratio == 0.625:
-            # original pattern, byte-for-byte reproducibility of the
-            # committed synthetic400/synthetic2k/ITW-scale records (the
-            # rng stream depends on the label sequence)
-            label = "spoof" if i % 8 < 5 else "bona-fide"
-        else:
-            label = ("spoof"
-                     if (i * args.spoof_ratio) % 1.0 + args.spoof_ratio
-                     >= 1.0 else "bona-fide")  # deterministic ratio mix
-        if args.hard:
-            family = families[i % len(families)]
+        if args.session_size > 0:
+            # session mode: label / speaker / family / fingerprint are
+            # SESSION properties; artifact strength stays per-clip
+            sess = i // args.session_size
+            spk = args.speaker_offset + (sess % args.speakers)
+            if i % args.session_size == 0:
+                session = make_session_params(rng)
+                session["f0"] = (110.0 * (2.0 ** ((spk % 24) / 12.0))
+                                 * rng.uniform(0.98, 1.02))
+            label = ("spoof" if (sess * args.spoof_ratio) % 1.0
+                     + args.spoof_ratio >= 1.0 else "bona-fide")
+            family = families[sess % len(families)]
+            f0 = session["f0"] * rng.uniform(0.995, 1.005)
+            dur = float(np.clip(session["dur"] + rng.uniform(-0.3, 0.3),
+                                1.0, 4.0))
             wave = synth_clip_hard(rng, f0, dur, args.sr,
                                    label == "spoof", family,
-                                   strength=args.hard_strength)
+                                   strength=args.hard_strength,
+                                   session=session)
         else:
-            wave = synth_clip(rng, f0, dur, args.sr, label == "spoof")
+            spk = args.speaker_offset + (i % args.speakers)
+            f0 = (110.0 * (2.0 ** ((spk % 24) / 12.0))
+                  * rng.uniform(0.98, 1.02))
+            dur = rng.uniform(1.0, 4.0)
+            if args.spoof_ratio == 0.625:
+                # original pattern, byte-for-byte reproducibility of the
+                # committed synthetic400/synthetic2k/ITW-scale records (the
+                # rng stream depends on the label sequence)
+                label = "spoof" if i % 8 < 5 else "bona-fide"
+            else:
+                label = ("spoof"
+                         if (i * args.spoof_ratio) % 1.0 + args.spoof_ratio
+                         >= 1.0 else "bona-fide")  # deterministic ratio mix
+            if args.hard:
+                family = families[i % len(families)]
+                wave = synth_clip_hard(rng, f0, dur, args.sr,
+                                       label == "spoof", family,
+                                       strength=args.hard_strength)
+            else:
+                wave = synth_clip(rng, f0, dur, args.sr, label == "spoof")
         fname = f"clip_{i:05d}.wav"
         write_wav(os.path.join(args.out, fname), wave, args.sr)
         rows.append((fname, f"speaker_{spk:02d}", label))
+        if args.session_size > 0:
+            session_map[fname] = i // args.session_size
+    if session_map:
+        import json
+        with open(os.path.join(args.out, "sessions.json"), "w") as f:
+            json.dump(session_map, f)
     with open(os.path.join(args.out, "meta.csv"), "w") as f:
         f.write("file,speaker,label\n")
         for fname, spk, label in rows:

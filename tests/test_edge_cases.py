@@ -176,3 +176,51 @@ def test_async_save_failure_raises_at_join(tmp_path):
         pipe._join_save()
     assert pipe._save_thread is None and pipe._save_exc is None
     del cfg
+
+
+def test_session_mode_generator(tmp_path):
+    """Session-mode synthetic data: label-pure sessions, shared speaker,
+    sessions.json sidecar consistent with meta.csv
+    (experiments/make_synthetic_dataset.py --session_size)."""
+    import csv
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "sess")
+    subprocess.run(
+        [sys.executable,
+         os.path.join(repo, "experiments", "make_synthetic_dataset.py"),
+         "--out", out, "--n", "48", "--speakers", "5", "--hard",
+         "--session_size", "8", "--seed", "3",
+         "--families", "inharmonic,quantize"],
+        check=True, capture_output=True)
+    with open(os.path.join(out, "sessions.json")) as f:
+        session_of = json.load(f)
+    rows = list(csv.DictReader(open(os.path.join(out, "meta.csv"))))
+    assert len(rows) == 48 and len(session_of) == 48
+    by_sess = {}
+    for r in rows:
+        by_sess.setdefault(session_of[r["file"]], []).append(r)
+    assert len(by_sess) == 6
+    for sess, members in by_sess.items():
+        assert len(members) == 8
+        # label-pure and speaker-pure within a session
+        assert len({m["label"] for m in members}) == 1
+        assert len({m["speaker"] for m in members}) == 1
+    # both classes present across sessions
+    assert len({m[0]["label"] for m in by_sess.values()}) == 2
+
+
+def test_session_size_requires_hard(tmp_path):
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(repo, "experiments", "make_synthetic_dataset.py"),
+         "--out", str(tmp_path / "x"), "--n", "8", "--session_size", "4"],
+        capture_output=True)
+    assert proc.returncode != 0
