@@ -117,19 +117,31 @@ def _apply_eq(wave, gains_db, sr):
     return np.fft.irfft(spec, n=len(wave))
 
 
-def make_session_params(rng: np.random.Generator) -> dict:
+def make_session_params(rng: np.random.Generator, fp: float = 1.0) -> dict:
     """Draw one session's channel fingerprint + level/noise operating
-    point. Identical distribution for spoof and bona-fide sessions."""
+    point. Identical distribution for spoof and bona-fide sessions.
+
+    ``fp`` scales fingerprint SALIENCE: the shared cues (EQ depth,
+    background texture level) grow with fp while per-clip jitter around
+    the session operating point shrinks as 1/fp. fp=1 reproduces the
+    original draws bit-for-bit (same rng stream). Calibrated with
+    probe_sessions.py: fp=1 gives top-5 neighbor session coherence ~0.19
+    (too weak for the retrieval-sensitivity claim); raise fp until
+    coherence dominates (~0.8)."""
     return {
-        # channel EQ: 8 anchor gains ~ N(0, 5 dB) — a strong, distinctive
-        # spectral tilt shared by every clip in the session
-        "eq_gains_db": rng.normal(0.0, 5.0, size=8),
+        # channel EQ: 8 anchor gains ~ N(0, 5·fp dB) — a strong,
+        # distinctive spectral tilt shared by every clip in the session
+        "eq_gains_db": rng.normal(0.0, 5.0 * fp, size=8),
         # background texture: pink noise shaped by a second random EQ
         # (e.g. fan / room / codec noise signature of the session)
-        "bg_gains_db": rng.normal(0.0, 8.0, size=8),
-        "snr_db": rng.uniform(18.0, 32.0),
+        "bg_gains_db": rng.normal(0.0, 8.0 * fp, size=8),
+        # louder shared background as fp grows (−6 dB SNR per doubling)
+        "snr_db": rng.uniform(18.0, 32.0) - 6.0 * np.log2(max(fp, 1e-6)),
         "level_db": rng.uniform(-5.0, 5.0),
         "dur": rng.uniform(1.6, 3.4),
+        # per-clip jitter scale (SNR/level/dur wobble around the session
+        # point) — channel properties get MORE stable as salience rises
+        "jitter": 1.0 / fp,
     }
 
 
@@ -197,7 +209,8 @@ def synth_clip_hard(rng: np.random.Generator, f0: float, dur: float,
         # strongest shared cue — what makes session-mates near neighbors
         wave = _apply_eq(wave, session["eq_gains_db"], sr)
         # session background texture at the session operating SNR
-        snr_db = session["snr_db"] + rng.uniform(-2.0, 2.0)
+        jit = session.get("jitter", 1.0)
+        snr_db = session["snr_db"] + rng.uniform(-2.0, 2.0) * jit
         sig_rms = np.sqrt(np.mean(wave ** 2)) + 1e-9
         noise_rms = sig_rms / (10.0 ** (snr_db / 20.0))
         bg = _apply_eq(_pink(rng, len(t)), session["bg_gains_db"], sr)
@@ -205,7 +218,7 @@ def synth_clip_hard(rng: np.random.Generator, f0: float, dur: float,
         # per-clip level jitter is SMALL within a session (±1.5 dB around
         # the session level) — gain is a channel property, not clip noise
         wave *= 10.0 ** ((session["level_db"]
-                          + rng.uniform(-1.5, 1.5)) / 20.0)
+                          + rng.uniform(-1.5, 1.5) * jit) / 20.0)
     else:
         # additive pink noise at SNR ~ U(15, 35) dB — both classes
         snr_db = rng.uniform(15.0, 35.0)
@@ -259,6 +272,13 @@ def main():
                         "disambiguated by session-mate neighbors). "
                         "0 = off (per-clip draws, the committed hard-mode "
                         "records)")
+    p.add_argument("--session_fp", type=float, default=1.0,
+                   help="session-mode fingerprint salience: scales the "
+                        "shared channel cues (EQ depth, background "
+                        "level) up and the per-clip jitter down. "
+                        "Calibrate with probe_sessions.py so top-5 "
+                        "neighbor session coherence is high (~0.8) "
+                        "without collapsing the artifact signal")
     args = p.parse_args()
 
     from radad_tpu.data.audio import write_wav
@@ -281,15 +301,16 @@ def main():
             sess = i // args.session_size
             spk = args.speaker_offset + (sess % args.speakers)
             if i % args.session_size == 0:
-                session = make_session_params(rng)
+                session = make_session_params(rng, fp=args.session_fp)
                 session["f0"] = (110.0 * (2.0 ** ((spk % 24) / 12.0))
                                  * rng.uniform(0.98, 1.02))
             label = ("spoof" if (sess * args.spoof_ratio) % 1.0
                      + args.spoof_ratio >= 1.0 else "bona-fide")
             family = families[sess % len(families)]
             f0 = session["f0"] * rng.uniform(0.995, 1.005)
-            dur = float(np.clip(session["dur"] + rng.uniform(-0.3, 0.3),
-                                1.0, 4.0))
+            jit = session.get("jitter", 1.0)
+            dur = float(np.clip(
+                session["dur"] + rng.uniform(-0.3, 0.3) * jit, 1.0, 4.0))
             wave = synth_clip_hard(rng, f0, dur, args.sr,
                                    label == "spoof", family,
                                    strength=args.hard_strength,

@@ -33,7 +33,8 @@ import numpy as np
 
 
 def probe(n: int, session_size: int, strength: float, seed: int,
-          speakers: int, families: str, data_dir: str = None) -> dict:
+          speakers: int, families: str, data_dir: str = None,
+          session_fp: float = 1.0) -> dict:
     from sklearn.linear_model import LogisticRegression
     from sklearn.preprocessing import StandardScaler
 
@@ -57,7 +58,8 @@ def probe(n: int, session_size: int, strength: float, seed: int,
                    "--families", families, "--seed", str(seed),
                    "--hard_strength", str(strength)]
             if session_size > 0:
-                cmd += ["--session_size", str(session_size)]
+                cmd += ["--session_size", str(session_size),
+                        "--session_fp", str(session_fp)]
             subprocess.run(cmd, check=True, capture_output=True)
         with open(os.path.join(tmp, "sessions.json")) as f:
             session_of = json.load(f)
@@ -122,6 +124,7 @@ def probe(n: int, session_size: int, strength: float, seed: int,
     if tmp_ctx is not None:
         tmp_ctx.cleanup()
     return {"n": n, "session_size": session_size, "strength": strength,
+            "session_fp": session_fp,
             "neighbor_session_coherence": coh,
             "probe_query_only": {"auc": auc_q, "eer": eer_q},
             "probe_query_plus_neighbors": {"auc": auc_qn, "eer": eer_qn}}
@@ -135,11 +138,13 @@ def main():
     p.add_argument("--seed", type=int, default=5)
     p.add_argument("--speakers", type=int, default=79)
     p.add_argument("--families", default="inharmonic,quantize,buzz")
+    p.add_argument("--session_fp", type=float, default=1.0)
     p.add_argument("--data_dir", default=None,
                    help="reuse an existing generated dataset dir")
     args = p.parse_args()
     r = probe(args.n, args.session_size, args.strength, args.seed,
-              args.speakers, args.families, data_dir=args.data_dir)
+              args.speakers, args.families, data_dir=args.data_dir,
+              session_fp=args.session_fp)
     print(json.dumps(r, indent=2))
 
 
