@@ -280,6 +280,12 @@ def main():
                         "neighbor session coherence is high (~0.8) "
                         "without collapsing the artifact signal")
     args = p.parse_args()
+    if args.session_fp <= 0:
+        raise SystemExit("--session_fp must be > 0 (it scales shared-cue "
+                         "salience and divides per-clip jitter)")
+    if args.session_fp != 1.0 and args.session_size == 0:
+        raise SystemExit("--session_fp has no effect without "
+                         "--session_size > 0 (session mode)")
 
     from radad_tpu.data.audio import write_wav
 

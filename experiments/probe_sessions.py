@@ -49,6 +49,11 @@ def probe(n: int, session_size: int, strength: float, seed: int,
     tmp_ctx = tempfile.TemporaryDirectory() if data_dir is None else None
     tmp = data_dir if data_dir is not None else tmp_ctx.name
     try:
+        if data_dir is not None:
+            # session_fp describes GENERATION; a reused dir's true fp is
+            # whatever it was generated with — don't misstate it in the
+            # record (ADVICE r3).
+            session_fp = None
         if data_dir is None:
             cmd = [sys.executable,
                    os.path.join(os.path.dirname(__file__),

@@ -47,6 +47,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "predict mode it applies per call.")
     p.add_argument("--feature_extractor", type=str, default="wav2vec2",
                    help="whisper, wavlm, wav2vec2, or hubert")
+    p.add_argument("--model_name", type=str, default=None,
+                   help="HF model id overriding the encoder family's "
+                        "default size (reference names its checkpoints in "
+                        "config.py:42-45; e.g. facebook/wav2vec2-large-lv60, "
+                        "microsoft/wavlm-large, openai/whisper-small). "
+                        "Architecture resolves from the preset table or a "
+                        "local config.json (models/encoder.py); weights "
+                        "load when a local checkpoint exists under "
+                        "--weights_dir")
+    p.add_argument("--whisper_fast", action="store_true",
+                   help="whisper: encode only the real frames instead of "
+                        "padding every segment to 30 s (the reference pads "
+                        "to 30 s, feature_extractor.py:94-113 — that parity "
+                        "mode stays the default; this is the TPU-fast "
+                        "variant, quality delta quantified in "
+                        "experiments/README.md)")
+    p.add_argument("--nprobe", type=int, default=None,
+                   help="IVF cells probed per search (reference "
+                        "config.py:53/76 vector_db_nprobe)")
     p.add_argument("--wandb", action="store_true",
                    help="Enable Weights & Biases logging")
     p.add_argument("--data_path", type=str, default=None,
@@ -132,6 +151,13 @@ def config_from_args(args) -> "Config":
         over["num_epochs"] = args.epochs
     if args.top_k is not None:
         over["top_k"] = args.top_k
+    if args.model_name is not None:
+        fam = args.feature_extractor.lower()
+        over[f"{fam}_model_name"] = args.model_name
+    if args.whisper_fast:
+        over["whisper_pad_seconds"] = None
+    if args.nprobe is not None:
+        over["vector_db_nprobe"] = args.nprobe
     if args.index_type is not None:
         over["vector_db_index_type"] = args.index_type.upper()
     if args.ivf_balance is not None:

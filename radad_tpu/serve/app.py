@@ -414,8 +414,12 @@ class Handler(BaseHTTPRequestHandler):
                 {"ok": False, "error": f"{type(e).__name__}: {e}"}, 500)
 
 
-def load_pipeline(config, model_prefix: str = "final_model"):
-    """Startup model+index load (app.py:47-83)."""
+def load_pipeline(config, model_prefix: str = "final_model",
+                  nprobe: int = None):
+    """Startup model+index load (app.py:47-83). ``nprobe`` overrides the
+    probe count persisted with the index for this server's lifetime (the
+    reference assigns ``index.nprobe`` per search,
+    vector_database.py:175-179)."""
     from radad_tpu.train.pipeline import DetectionPipeline
 
     pipe = DetectionPipeline(config)
@@ -424,17 +428,20 @@ def load_pipeline(config, model_prefix: str = "final_model"):
             raise RuntimeError("no trained checkpoint found")
     if not pipe.load_vector_database():
         raise RuntimeError("no saved vector database found")
+    if nprobe is not None:
+        pipe.index.nprobe = int(nprobe)
     return pipe
 
 
 def serve(config, *, host: str = "0.0.0.0", port: int = 5000,
-          pipeline=None, model_prefix: str = "final_model"):
+          pipeline=None, model_prefix: str = "final_model",
+          nprobe: int = None):
     audio_dir = config.train_data_path
     upload_dir = os.path.join(config.data_root, "uploads")
     err = None
     if pipeline is None:
         try:
-            pipeline = load_pipeline(config, model_prefix)
+            pipeline = load_pipeline(config, model_prefix, nprobe=nprobe)
         except Exception as e:
             logger.error("pipeline load failed: %s", e)
             pipeline, err = None, str(e)
@@ -473,10 +480,30 @@ def main(argv=None):
                         "v5e) — recommended for serving; clip embeddings "
                         "stay f32 after TPP so retrieval semantics are "
                         "unchanged")
+    p.add_argument("--model_name", type=str, default=None,
+                   help="HF model id overriding the encoder family's "
+                        "default size (must match the checkpoint the "
+                        "server loads; reference config.py:42-45)")
+    p.add_argument("--whisper_fast", action="store_true",
+                   help="whisper: encode real frames only instead of the "
+                        "reference's 30 s padding (must match how the "
+                        "vector DB was built)")
+    p.add_argument("--nprobe", type=int, default=None,
+                   help="IVF cells probed per query (serving-time override "
+                        "of the value persisted with the index; the "
+                        "reference sets index.nprobe per search, "
+                        "vector_database.py:175-179)")
     args = p.parse_args(argv)
 
     from radad_tpu.config import Config
 
+    over = {}
+    if args.model_name is not None:
+        over[f"{args.feature_extractor.lower()}_model_name"] = args.model_name
+    if args.whisper_fast:
+        over["whisper_pad_seconds"] = None
+    if args.nprobe is not None:
+        over["vector_db_nprobe"] = args.nprobe
     cfg = Config().replace(
         train_data_path=args.data_path, test_data_path=args.data_path,
         data_root=args.data_root,
@@ -484,9 +511,9 @@ def main(argv=None):
         feature_extractor_type=args.feature_extractor,
         max_duration=args.max_duration,
         use_mixed_precision=args.mixed_precision,
-        use_batch_norm=False, use_layer_norm=True)
+        use_batch_norm=False, use_layer_norm=True, **over)
     httpd = serve(cfg, host=args.host, port=args.port,
-                  model_prefix=args.model_prefix)
+                  model_prefix=args.model_prefix, nprobe=args.nprobe)
     httpd.serve_forever()
 
 

@@ -78,6 +78,30 @@ def test_cli_flag_mapping():
     assert cfg0.vector_db_ivf_balance == 0.0
 
 
+def test_cli_flag_mapping_round4():
+    """--model_name / --whisper_fast / --nprobe (reference config.py:42-45
+    names the checkpoint; vector_db_nprobe is the duplicate-assignment knob
+    at config.py:53/76)."""
+    from radad_tpu.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args([
+        "--mode", "train", "--feature_extractor", "wavlm",
+        "--model_name", "microsoft/wavlm-large", "--nprobe", "64"])
+    cfg = config_from_args(args)
+    assert cfg.wavlm_model_name == "microsoft/wavlm-large"
+    assert cfg.vector_db_nprobe == 64
+
+    args = build_parser().parse_args([
+        "--mode", "train", "--feature_extractor", "whisper",
+        "--whisper_fast"])
+    cfg = config_from_args(args)
+    assert cfg.whisper_pad_seconds is None
+    # parity default: 30 s padding, default model names untouched
+    cfg0 = config_from_args(build_parser().parse_args(["--mode", "train"]))
+    assert cfg0.whisper_pad_seconds == 30.0
+    assert cfg0.wav2vec2_model_name == "facebook/wav2vec2-base-960h"
+
+
 def test_cli_evaluate_and_predict(cli_run, synthetic_dataset, capsys):
     from radad_tpu import cli
 
