@@ -92,6 +92,7 @@ def sharded_retrieve(
     centroids: Optional[jnp.ndarray] = None,  # [nlist, D] — replicated
     cells: Optional[jnp.ndarray] = None,  # [cap] i32 — sharded over 'index'
     nprobe: int = 32,
+    exclude_mode: str = "batch",
 ) -> ShardedRetrieval:
     """Exact top-k over the sharded database; recall@k == 1.0 vs the
     single-device scan by construction (per-shard exact top-k + global
@@ -101,19 +102,32 @@ def sharded_retrieve(
     ``nprobe`` nearest coarse cells (IVF mode, index/flat.py parity): the
     probe-cell selection uses the replicated centroids so every shard
     masks against the SAME cell set — the candidate set is identical to
-    the single-chip masked-scan IVF."""
+    the single-chip masked-scan IVF.
+
+    ``exclude_mode``: "batch" reproduces the reference's batch-global
+    exclusion (pipeline.py:461-463); "self" excludes each query's own id
+    only (independent serving requests, predict_batch) — each query's
+    exclude id already lives on its 'data' shard, so self mode needs NO
+    extra collective (VERDICT r3 #7)."""
 
     def shard_fn(q_loc, v_loc, lab_loc, ids_loc, valid_loc, excl_loc,
                  *ivf_args):
         rows_per_shard = v_loc.shape[0]
         shard_i = jax.lax.axis_index(INDEX_AXIS)
         scores = _local_scores(q_loc, v_loc, metric)  # [b, rows]
-        # Reference parity: exclusion is batch-global (one set from every
-        # query's basename, pipeline.py:461-463) — gather the full batch's
-        # exclude ids across 'data' ([B] ints, trivial on ICI).
-        excl_all = jax.lax.all_gather(excl_loc, DATA_AXIS).reshape(-1)
-        row_excl = jnp.any(ids_loc[:, None] == excl_all[None, :], axis=1)
-        mask = ((~valid_loc) | row_excl)[None, :]
+        if exclude_mode == "self":
+            # per-row exclusion: [b, rows] compare, purely shard-local
+            excl_mat = ids_loc[None, :] == excl_loc[:, None]
+            mask = (~valid_loc)[None, :] | excl_mat
+        else:
+            # Reference parity: exclusion is batch-global (one set from
+            # every query's basename, pipeline.py:461-463) — gather the
+            # full batch's exclude ids across 'data' ([B] ints, trivial
+            # on ICI).
+            excl_all = jax.lax.all_gather(excl_loc, DATA_AXIS).reshape(-1)
+            row_excl = jnp.any(ids_loc[:, None] == excl_all[None, :],
+                               axis=1)
+            mask = ((~valid_loc) | row_excl)[None, :]
         if ivf_args:
             cents, cells_loc = ivf_args
             # HIGHEST: probe the same cells as every other IVF path
@@ -182,6 +196,7 @@ def sharded_retrieve_sq8(
     metric: str = "L2",
     centroids: Optional[jnp.ndarray] = None,  # [nlist, D] f32 — replicated
     cells: Optional[jnp.ndarray] = None,  # [cap] i32 — sharded with rows
+    exclude_mode: str = "batch",
 ) -> ShardedRetrieval:
     """ICI-sharded int8 retrieval: per-shard int8 MXU scan + f32 rerank of
     the shard's top-R quantized candidates, then the same one-all_gather
@@ -232,9 +247,14 @@ def sharded_retrieve_sq8(
             qsq = jnp.sum(q_loc.astype(jnp.float32) ** 2, -1, keepdims=True)
             scores = -(qsq - 2.0 * qx + nsq_loc[None, :])
 
-        excl_all = jax.lax.all_gather(excl_loc, DATA_AXIS).reshape(-1)
-        row_excl = jnp.any(ids_loc[:, None] == excl_all[None, :], axis=1)
-        mask = ((ids_loc < 0) | row_excl)[None, :]
+        if exclude_mode == "self":
+            mask = ((ids_loc < 0)[None, :]
+                    | (ids_loc[None, :] == excl_loc[:, None]))
+        else:
+            excl_all = jax.lax.all_gather(excl_loc, DATA_AXIS).reshape(-1)
+            row_excl = jnp.any(ids_loc[:, None] == excl_all[None, :],
+                               axis=1)
+            mask = ((ids_loc < 0) | row_excl)[None, :]
         scores = jnp.where(mask, -jnp.inf, scores)
 
         r = min(max(4 * k, 32), rows_per_shard)
@@ -306,6 +326,7 @@ def sharded_retrieve_ivf_gather(
     nprobe: int,
     budget: int,
     metric: str = "L2",
+    exclude_mode: str = "batch",
 ) -> ShardedRetrieval:
     """Gather-probed IVF over the sharded database — the multi-chip form of
     ``index/ivf_gather.py::ivf_gather_search_chunked`` (low-batch serving:
@@ -337,9 +358,15 @@ def sharded_retrieve_ivf_gather(
         n_valid = nv_loc[0]
         hi = jax.lax.Precision.HIGHEST
 
-        # Reference parity: batch-global exclusion (pipeline.py:461-463).
-        excl_all = jax.lax.all_gather(excl_loc, DATA_AXIS).reshape(-1)
-        row_excl = jnp.any(ids_loc[:, None] == excl_all[None, :], axis=1)
+        if exclude_mode == "self":
+            # serving: each query excludes only its own id (shard-local)
+            row_excl = None
+        else:
+            # Reference parity: batch-global exclusion
+            # (pipeline.py:461-463).
+            excl_all = jax.lax.all_gather(excl_loc, DATA_AXIS).reshape(-1)
+            row_excl = jnp.any(ids_loc[:, None] == excl_all[None, :],
+                               axis=1)
 
         qsq = jnp.einsum("bd,bd->b", q_loc, q_loc, precision=hi)
         qc = (qsq[:, None]
@@ -362,7 +389,7 @@ def sharded_retrieve_ivf_gather(
 
         def gather_branch(_):
             def one(args):
-                qi, si, qsq_i = args
+                qi, si, qsq_i, excl_i = args
                 rows = jnp.take(cr_loc, jnp.maximum(si, 0), axis=0)
                 rows = jnp.where(si[:, None] >= 0, rows, -1
                                  ).reshape(budget_eff * w)
@@ -373,13 +400,16 @@ def sharded_retrieve_ivf_gather(
                     preferred_element_type=jnp.float32, precision=hi)[0]
                 xsq = jnp.einsum("cd,cd->c", vs, vs, precision=hi)
                 scores = -(qsq_i - 2.0 * qx + xsq)
-                bad = (rows < 0) | jnp.take(row_excl, safe)
+                if exclude_mode == "self":
+                    bad = (rows < 0) | (jnp.take(ids_loc, safe) == excl_i)
+                else:
+                    bad = (rows < 0) | jnp.take(row_excl, safe)
                 scores = jnp.where(bad, -jnp.inf, scores)
                 top, p = jax.lax.top_k(scores, k)
                 return top, jnp.where(jnp.isfinite(top),
                                       jnp.take(rows, p), -1)
 
-            return jax.lax.map(one, (q_loc, sel, qsq))
+            return jax.lax.map(one, (q_loc, sel, qsq, excl_loc))
 
         def scan_branch(_):
             # Dense masked probed scan over the local shard (the masked
@@ -391,7 +421,12 @@ def sharded_retrieve_ivf_gather(
             probe_mask = jnp.take(member, cells_loc, axis=1, mode="clip")
             row_ids = jax.lax.broadcasted_iota(
                 jnp.int32, (rows_per_shard, 1), 0)[:, 0]
-            bad = (row_excl | (row_ids >= n_valid))[None, :] | ~probe_mask
+            if exclude_mode == "self":
+                excl_rows = ids_loc[None, :] == excl_loc[:, None]
+            else:
+                excl_rows = row_excl[None, :]
+            bad = (excl_rows | (row_ids >= n_valid)[None, :]
+                   | ~probe_mask)
             scores = jnp.where(bad, -jnp.inf, scores)
             vals, loc_idx = jax.lax.top_k(scores, k)
             return vals, jnp.where(jnp.isfinite(vals), loc_idx, -1)
@@ -524,14 +559,14 @@ class ShardedIndex:
         self.n = n
         self.paths = list(paths) if paths is not None else []
 
-    def retrieve(self, q: jnp.ndarray, exclude_ids: jnp.ndarray, k: int
-                 ) -> ShardedRetrieval:
+    def retrieve(self, q: jnp.ndarray, exclude_ids: jnp.ndarray, k: int,
+                 exclude_mode: str = "batch") -> ShardedRetrieval:
         if self.metric == "COSINE":
             q = q / jnp.maximum(jnp.linalg.norm(q, -1, keepdims=True), 1e-12)
         return sharded_retrieve(
             self.mesh, q, self.vectors, self.labels, self.ids,
             self.row_valid, exclude_ids, k=k,
-            metric=self.metric)
+            metric=self.metric, exclude_mode=exclude_mode)
 
     def build_ivf(self, centroids: np.ndarray, cells: np.ndarray) -> None:
         """Attach IVF state for the gather-probed sharded path: the
@@ -568,7 +603,8 @@ class ShardedIndex:
                    for cc, cnt in self._budget_stats)
 
     def retrieve_gather(self, q: jnp.ndarray, exclude_ids: jnp.ndarray,
-                        k: int, nprobe: int) -> ShardedRetrieval:
+                        k: int, nprobe: int, exclude_mode: str = "batch"
+                        ) -> ShardedRetrieval:
         """Gather-probed IVF retrieval (low-batch serving): each shard
         touches only its probed cells' chunks. Same candidate set as the
         masked sharded IVF path by construction."""
@@ -578,4 +614,5 @@ class ShardedIndex:
             self.mesh, q, self.vectors, self.labels, self.ids,
             exclude_ids, self.centroids, self.cells, self.chunk_rows,
             self.cell_chunks, self.n_valid_shard, k=k, nprobe=nprobe,
-            budget=self.gather_budget(nprobe), metric=self.metric)
+            budget=self.gather_budget(nprobe), metric=self.metric,
+            exclude_mode=exclude_mode)

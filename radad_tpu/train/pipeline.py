@@ -382,6 +382,9 @@ class DetectionPipeline:
         # jitted end-to-end predict programs (embed→retrieve+fallback→
         # model), cached per (metric, n_valid, k, exclude_mode)
         self._predict_cache: Dict[Tuple, object] = {}
+        # mesh gather-probed IVF state: per-shard chunk tables + budget
+        # stats, built at placement time (parallel/sharded_index.py)
+        self._mesh_ivf = None
 
     # ------------------------------------------------------------------
     def _make_index(self):
@@ -424,6 +427,7 @@ class DetectionPipeline:
         reasonable index-axis size divides."""
         if self.mesh is None or self.index.ntotal == 0:
             return
+        self._mesh_ivf = None  # rebuilt below when the index is flat IVF
         from jax.sharding import NamedSharding, PartitionSpec as P
         from radad_tpu.parallel.mesh import INDEX_AXIS
 
@@ -446,8 +450,45 @@ class DetectionPipeline:
                 self.index.cells = jax.device_put(self.index.cells, vec)
                 self.index.centroids = jax.device_put(
                     self.index.centroids, rep)
+                self._build_mesh_ivf_tables(row, vec)
         self.index.labels = jax.device_put(self.index.labels, vec)
         self.index.ids = jax.device_put(self.index.ids, vec)
+
+    def _build_mesh_ivf_tables(self, row_sharding, vec_sharding) -> None:
+        """Per-shard chunk tables for the sharded gather-probed IVF
+        serving path (sharded_retrieve_ivf_gather): each shard's probed
+        cells resolve to LOCAL chunk lists so serving gathers
+        b·budget·w rows per shard instead of sweeping its whole slice.
+        Built host-side once per placement; ~one i32 per DB row."""
+        from radad_tpu.parallel.mesh import INDEX_AXIS
+        from radad_tpu.parallel.sharded_index import (
+            build_sharded_chunk_tables)
+
+        cells_np = np.asarray(self.index.cells)
+        nlist = int(self.index.centroids.shape[0])
+        s = int(self.mesh.shape[INDEX_AXIS])
+        if cells_np.shape[0] % s != 0:
+            self._mesh_ivf = None  # capacity must divide the axis
+            return
+        chunk_rows, cell_chunks, n_valid_shard, stats = (
+            build_sharded_chunk_tables(cells_np, self.index.n, nlist, s))
+        self._mesh_ivf = {
+            "chunk_rows": jax.device_put(chunk_rows, row_sharding),
+            "cell_chunks": jax.device_put(cell_chunks, row_sharding),
+            "n_valid_shard": jax.device_put(n_valid_shard, vec_sharding),
+            "stats": stats,
+            "budgets": {},  # nprobe -> cached max-over-shards budget
+        }
+
+    def _mesh_gather_budget(self, nprobe: int) -> int:
+        from radad_tpu.index.ivf_gather import default_chunk_budget
+
+        cached = self._mesh_ivf["budgets"].get(nprobe)
+        if cached is None:
+            cached = max(default_chunk_budget(cc, cnt, nprobe)
+                         for cc, cnt in self._mesh_ivf["stats"])
+            self._mesh_ivf["budgets"][nprobe] = cached
+        return cached
 
     # ------------------------------------------------------------------
     def _ensure_model_state(self):
@@ -459,7 +500,13 @@ class DetectionPipeline:
         self.variables = self.model.init(k1, dummy_n, dummy_t)
         self.opt_state = self.opt.init(self.variables["params"])
 
-    def _index_args(self):
+    def _index_args(self, serving: bool = False):
+        """Index state tuple threaded into the jitted step/predict graphs.
+
+        ``serving=True`` (the predict paths only) appends the per-shard
+        gather-probed IVF tables when a mesh placement built them — the
+        train/eval steps never see them, so their pjit in_shardings stay
+        the fixed 6-tuple (``_build_steps``)."""
         if self.is_quantized:
             base = (self.index.codes, self.index.scales, self.index.norm_sq,
                     self.index.labels, self.index.ids)
@@ -475,7 +522,14 @@ class DetectionPipeline:
             base = (self.index.vectors, self.index.labels, self.index.ids,
                     self.index.norms_sq)
             if self.index.metric == "IVF":
-                return base + (self.index.centroids, self.index.cells)
+                ivf = base + (self.index.centroids, self.index.cells)
+                if serving and self._mesh_ivf is not None:
+                    # per-shard chunk tables → the sharded gather-probed
+                    # serving path (see _retrieve); 9 args total
+                    return ivf + (self._mesh_ivf["chunk_rows"],
+                                  self._mesh_ivf["cell_chunks"],
+                                  self._mesh_ivf["n_valid_shard"])
+                return ivf
             return base
         base = (self.index.vectors, self.index.labels, self.index.ids,
                 self.index.norms_sq, self.index.scan_bf16,
@@ -495,27 +549,30 @@ class DetectionPipeline:
                   exclude_mode="batch", prefer_ivf_gather=False):
         """Dispatch in-graph retrieval by index kind and mesh.
 
-        With a mesh and the reference's batch-global exclusion the search
-        runs sharded over ICI (per-shard top-k + all_gather merge, IVF
-        probe masking included). exclude_mode="self" (independent
-        predict_batch requests) has no sharded formulation yet, and small
-        predict batches may not divide the data axis — both fall back to
-        the dense exact scan via GSPMD, ignoring IVF probes (a candidate
-        superset, never worse recall).
+        With a mesh the search runs sharded over ICI (per-shard top-k +
+        all_gather merge, IVF probe masking included) for BOTH exclusion
+        modes: "batch" (reference-parity, one all_gather of exclude ids
+        over 'data') and "self" (independent predict_batch requests —
+        each query's exclude id already lives on its 'data' shard, no
+        collective needed). Only a batch that does not divide the data
+        axis falls back to the dense exact scan via GSPMD (the predict
+        paths pad serving batches to the axis size, so this is a
+        train-time-only safety net).
 
         ``prefer_ivf_gather`` (the predict graph sets it): when the index
         is IVF with a cell table and the batch is small enough that
         B*nprobe*span + overflow rows undercut the full scan, retrieval
-        runs the gather-probed path (index/ivf_gather.py) — sublinear in
-        N instead of a whole-DB sweep per serving call. Training keeps
-        the batch-amortized exact scan regardless (the flag is never set
-        on the train/eval steps), so training quality semantics are
-        untouched."""
-        from radad_tpu.parallel.mesh import DATA_AXIS
+        runs the gather-probed path (index/ivf_gather.py; with a mesh,
+        parallel/sharded_index.py::sharded_retrieve_ivf_gather over
+        per-shard chunk tables) — sublinear in N instead of a whole-DB
+        sweep per serving call. Training keeps the batch-amortized exact
+        scan regardless (the flag is never set on the train/eval steps),
+        so training quality semantics are untouched."""
+        from radad_tpu.parallel.mesh import DATA_AXIS, INDEX_AXIS
 
         shardable = (self.mesh is not None
                      and tpp.shape[0] % self.mesh.shape[DATA_AXIS] == 0)
-        if shardable and exclude_mode == "batch":
+        if shardable and exclude_mode in ("batch", "self"):
             if self.is_quantized:
                 from radad_tpu.parallel.sharded_index import (
                     sharded_retrieve_sq8)
@@ -526,18 +583,43 @@ class DetectionPipeline:
                 ret = sharded_retrieve_sq8(
                     self.mesh, tpp, codes, scales, norm_sq, labels, ids,
                     exclude_ids, k=k, metric="L2", centroids=cents,
-                    cells=cls)
+                    cells=cls, exclude_mode=exclude_mode)
             else:
+                vectors, labels, ids, _xsq = index_args[:4]
+                cents, cells = (index_args[4:6] if len(index_args) >= 6
+                                else (None, None))
+                if len(index_args) == 9 and prefer_ivf_gather:
+                    # Sharded gather-probed IVF: dispatch on the same
+                    # cost model as the single-chip path, per shard —
+                    # each shard gathers b_local·budget·w candidate rows
+                    # vs scanning its whole rows_per_shard slice.
+                    from radad_tpu.parallel.sharded_index import (
+                        sharded_retrieve_ivf_gather)
+
+                    chunk_rows, cell_chunks, nvs = index_args[6:9]
+                    nprobe = min(self.index.nprobe, cents.shape[0])
+                    budget = self._mesh_gather_budget(nprobe)
+                    w = chunk_rows.shape[1]
+                    b_loc = tpp.shape[0] // self.mesh.shape[DATA_AXIS]
+                    rows_per_shard = (vectors.shape[0]
+                                      // self.mesh.shape[INDEX_AXIS])
+                    if 2 * b_loc * budget * w < rows_per_shard:
+                        ret = sharded_retrieve_ivf_gather(
+                            self.mesh, tpp, vectors, labels, ids,
+                            exclude_ids, cents, cells, chunk_rows,
+                            cell_chunks, nvs, k=k, nprobe=nprobe,
+                            budget=budget, metric=metric,
+                            exclude_mode=exclude_mode)
+                        return (ret.neighbors, ret.labels, ret.dists,
+                                ret.indices)
                 from radad_tpu.parallel.sharded_index import sharded_retrieve
 
-                vectors, labels, ids, _xsq = index_args[:4]
-                cents, cells = (index_args[4:6] if len(index_args) == 6
-                                else (None, None))
                 ret = sharded_retrieve(
                     self.mesh, tpp, vectors, labels, ids, ids >= 0,
                     exclude_ids, k=k, metric=metric, centroids=cents,
                     cells=cells,
-                    nprobe=self.index.nprobe if cents is not None else 32)
+                    nprobe=self.index.nprobe if cents is not None else 32,
+                    exclude_mode=exclude_mode)
             return ret.neighbors, ret.labels, ret.dists, ret.indices
         if self.is_quantized:
             from radad_tpu.index.quantized import retrieve_on_device_sq8
@@ -596,7 +678,16 @@ class DetectionPipeline:
         # branch (see _retrieve) bakes the budget and table geometry into
         # the trace, and any can change on adds / nprobe overrides.
         ivf_sig = None
-        if (not self.is_quantized and self.index.metric == "IVF"
+        if self._mesh_ivf is not None:
+            # sharded gather-probed serving: budget + table geometry are
+            # baked into the trace exactly like the single-chip case
+            nprobe = min(self.index.nprobe,
+                         int(self.index.centroids.shape[0]))
+            ivf_sig = ("mesh", self.index.nprobe,
+                       self._mesh_gather_budget(nprobe),
+                       self._mesh_ivf["chunk_rows"].shape,
+                       self._mesh_ivf["cell_chunks"].shape)
+        elif (not self.is_quantized and self.index.metric == "IVF"
                 and getattr(self.index, "ivf_chunk_rows", None) is not None):
             # budget joins the key too: a retrain can shift cell balance
             # (and hence the count-weighted budget) without changing
@@ -652,6 +743,32 @@ class DetectionPipeline:
 
         self._predict_cache[key] = fn
         return fn
+
+    def _pad_serving_batch(self, waves, exclude, lengths):
+        """Pad a serving batch up to a multiple of the mesh 'data' axis so
+        retrieval stays on the sharded path (shard_map needs the batch to
+        divide the axis; without padding, small predict batches would
+        regress to a dense GSPMD sweep — VERDICT r3 #7). Dummy rows carry
+        zero audio and the -2 no-exclusion sentinel; callers slice
+        outputs back to the true batch. Returns (waves, exclude, lengths,
+        true_b)."""
+        true_b = waves.shape[0]
+        if self.mesh is None:
+            return waves, exclude, lengths, true_b
+        from radad_tpu.parallel.mesh import DATA_AXIS
+
+        dp = int(self.mesh.shape[DATA_AXIS])
+        target = ((true_b + dp - 1) // dp) * dp
+        if target == true_b:
+            return waves, exclude, lengths, true_b
+        pad = target - true_b
+        waves = np.pad(np.asarray(waves), ((0, pad), (0, 0)))
+        exclude = jnp.concatenate(
+            [exclude, jnp.full((pad,), -2, jnp.int32)])
+        if lengths is not None:
+            lengths = jnp.concatenate(
+                [lengths, jnp.ones((pad,), jnp.int32)])
+        return waves, exclude, lengths, true_b
 
     def _grid_pad(self) -> Optional[int]:
         """Long-audio batch layout: pad to the window-grid cover of
@@ -1239,10 +1356,12 @@ class DetectionPipeline:
                 deterministic=True, use_running_average=True)
         else:
             metric = self.index.metric if self.index.metric != "IVF" else "L2"
+            audio, exclude, lengths, _ = self._pad_serving_batch(
+                audio, exclude, lengths)
             logits, nlabels, dists, idx = self._predict_graph(
                 metric, self.index.ntotal, cfg.top_k)(
-                self.encoder.params, self._index_args(), self.variables,
-                audio, exclude, lengths)
+                self.encoder.params, self._index_args(serving=True),
+                self.variables, jnp.asarray(audio), exclude, lengths)
         logit = float(np.asarray(logits).reshape(-1)[0])
         prob_spoof = float(jax.nn.sigmoid(logit))
         idx_np = np.asarray(idx)[0]
@@ -1312,10 +1431,13 @@ class DetectionPipeline:
             # independent requests must not exclude each other's files —
             # per-row self exclusion here (training uses the reference's
             # batch-global mode)
+            waves, exclude, lengths, _ = self._pad_serving_batch(
+                waves, exclude, lengths)
             logits, nlabels, dists, idx = self._predict_graph(
                 metric, self.index.ntotal, cfg.top_k,
                 exclude_mode="self")(
-                self.encoder.params, self._index_args(), self.variables,
+                self.encoder.params, self._index_args(serving=True),
+                self.variables,
                 jnp.asarray(waves), exclude, lengths)
         logits_np = np.asarray(logits).reshape(-1)
         idx_np = np.asarray(idx)
