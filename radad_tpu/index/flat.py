@@ -804,20 +804,18 @@ def _hier_candidates(scores, k, tiles_hint=None, per_tile_hint=None):
     # sequentially-dependent XLA rounds cost 0.24 ms of the 0.39 ms select
     # stage at ITW scale (~40 small dispatches XLA cannot fuse across).
     # On TPU a single Pallas dispatch runs all rounds over the
-    # VMEM-resident slab with bit-identical semantics
-    # (ops/topk.extract_topm; parity pinned by
-    # tests/test_index.py::test_extract_topm_kernel_parity).
+    # VMEM-resident slab with bit-identical semantics AND emits the flat
+    # j-major candidate list + strided row indices directly (round 4: the
+    # previous [B, T, 128] vals/lanes outputs cost ~25 MB of HBM writes +
+    # slice + swapaxes relayouts per call; ops/topk.extract_candidates,
+    # parity pinned by tests/test_index.py::test_extract_candidates_
+    # kernel_parity).
     if jax.default_backend() == "tpu":
-        from radad_tpu.ops.topk import extract_topm
+        from radad_tpu.ops.topk import extract_candidates
 
-        vals3, lanes3, leftover = extract_topm(cand, per_tile)
-        # strided layout: score row index = lane * nt + tile
-        rows3 = lanes3 * nt + tsel[:, :, None]  # [B, T, m]
+        vals, rows, leftover = extract_candidates(cand, tsel, per_tile, nt)
         spill = jnp.maximum(jnp.max(leftover, axis=-1), unsel_max)
-        return (jnp.swapaxes(vals3, 1, 2).reshape(b, tiles * per_tile),
-                jnp.swapaxes(rows3, 1, 2).reshape(
-                    b, tiles * per_tile).astype(jnp.int32),
-                spill)
+        return vals, rows, spill
 
     col = jax.lax.broadcasted_iota(jnp.int32, (b, tiles, _LANES), 2)
     big = jnp.int32(_LANES)

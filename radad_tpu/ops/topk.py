@@ -269,65 +269,89 @@ def flat_topk_reference(q, vectors, k, *, metric="L2", n_valid=None,
 # leftover max for the exactness certificate's spill bound).
 
 
-def _extract_kernel(cand_ref, vals_ref, lanes_ref, left_ref, *, m: int):
+def _extract_kernel(cand_ref, tsel_ref, vals_ref, rows_ref, left_ref,
+                    *, m: int, nt: int):
     cand = cand_ref[:]  # [bb, T, L] f32
     bb, t, lanes_n = cand.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (bb, t, lanes_n), 2)
-    vals = jnp.full((bb, t, lanes_n), NEG_INF, jnp.float32)
-    lanes = jnp.full((bb, t, lanes_n), -1, jnp.int32)
     big = jnp.int32(lanes_n)
+    tsel = tsel_ref[:]  # [bb, T] i32 — which score tile each slab tile is
+    vs, rs = [], []
     for j in range(m):
         best = jnp.max(cand, axis=2)  # [bb, T]
         at_best = cand >= best[..., None]
         bidx = jnp.min(jnp.where(at_best, lane, big), axis=2)  # [bb, T]
         sel = jnp.minimum(bidx, lanes_n - 1)
-        vals = jnp.where(lane == j, best[..., None], vals)
-        lanes = jnp.where(lane == j, sel[..., None], lanes)
+        vs.append(best)
+        # strided tile layout: score row = lane * nt + tile index
+        rs.append(sel * jnp.int32(nt) + tsel)
         cand = jnp.where(lane == bidx[..., None], NEG_INF, cand)
-    vals_ref[:] = vals
-    lanes_ref[:] = lanes
+    # j-major flat layout [bb, m*T] — exactly the order the select stage
+    # consumes (top_k over the candidate axis), so no host-side
+    # swapaxes/reshape relayout survives this kernel
+    vals_ref[:] = jnp.concatenate(vs, axis=1)
+    rows_ref[:] = jnp.concatenate(rs, axis=1)
     left_ref[:] = jnp.max(cand, axis=2)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "interpret"))
-def extract_topm(cand: jnp.ndarray, m: int, *, interpret: bool = False
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-tile top-m of ``cand [B, T, L]`` (L = 128 lanes), one dispatch.
+@functools.partial(jax.jit, static_argnames=("m", "nt", "interpret"))
+def extract_candidates(cand: jnp.ndarray, tsel: jnp.ndarray, m: int,
+                       nt: int, *, interpret: bool = False
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-tile top-m of ``cand [B, T, L]`` (L = 128 lanes), one dispatch,
+    emitting the CANDIDATE LIST directly: flattened j-major values and
+    strided-layout score-row indices (``lane * nt + tsel``).
 
-    Returns ``(vals [B, T, m] f32, lanes [B, T, m] i32, leftover [B, T]
+    Returns ``(vals [B, m*T] f32, rows [B, m*T] i32, leftover [B, T]
     f32)`` where ``leftover`` is the per-tile max AFTER the m extractions
     (the in-tile component of the certificate's spill bound). Tie-break:
     lowest lane, exactly like the XLA loop it replaces. All-(-inf) tiles
     yield val=-inf, lane 0 — masked downstream by isfinite, identical to
     the XLA semantics.
+
+    The flat [B, m*T] outputs replace the previous full-width
+    ``[B, T, 128]`` vals/lanes pair: at ITW scale (B=256, T=24) that pair
+    cost ~25 MB of HBM writes + a slice + two swapaxes relayouts per
+    search call, and its scoped-VMEM footprint OOM'd when the search ran
+    inside a fori_loop (profiling chains).
     """
     b, t, lanes_n = cand.shape
     assert m <= lanes_n, (m, lanes_n)
-    # block B so in + 2 outs + leftover stay well inside VMEM
-    bb = max(8, min(128, b))
+    assert tsel.shape == (b, t), (tsel.shape, (b, t))
+    # block B so the slab + the m unrolled rounds' live temporaries stay
+    # inside the 16 MB scoped-VMEM stack: at bb=128, T=24 the unrolled
+    # max/where rounds hold ~19 MB of [bb, T, 128] temps (measured OOM);
+    # bb=64 halves that with 4 grid steps at B=256 — dispatch-cheap
+    bb = max(8, min(64, b))
     b_pad = _round_up(b, bb)
     if b_pad != b:
         cand = jnp.concatenate(
             [cand, jnp.full((b_pad - b, t, lanes_n), NEG_INF, cand.dtype)])
+        tsel = jnp.concatenate(
+            [tsel, jnp.zeros((b_pad - b, t), jnp.int32)])
 
-    vals, lanes, left = pl.pallas_call(
-        functools.partial(_extract_kernel, m=m),
+    vals, rows, left = pl.pallas_call(
+        functools.partial(_extract_kernel, m=m, nt=nt),
         grid=(b_pad // bb,),
-        in_specs=[pl.BlockSpec((bb, t, lanes_n), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec((bb, t, lanes_n), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=[
             pl.BlockSpec((bb, t, lanes_n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, t), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
+        out_specs=[
+            pl.BlockSpec((bb, m * t), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, m * t), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, t), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_shape=[
-            jax.ShapeDtypeStruct((b_pad, t, lanes_n), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, t, lanes_n), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, m * t), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, m * t), jnp.int32),
             jax.ShapeDtypeStruct((b_pad, t), jnp.float32),
         ],
         interpret=interpret,
-    )(cand.astype(jnp.float32))
-    return vals[:b, :, :m], lanes[:b, :, :m], left[:b]
+    )(cand.astype(jnp.float32), tsel.astype(jnp.int32))
+    return vals[:b], rows[:b], left[:b]

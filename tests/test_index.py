@@ -1210,37 +1210,43 @@ def test_single_buffer_near_tie_fallback(rng):
         assert set(np.asarray(i_got)[r]) == set(oracle[r]), r
 
 
-def test_extract_topm_kernel_parity(rng):
-    """The Pallas per-tile extraction kernel (ops/topk.extract_topm, one
-    dispatch for all m rounds — replaces 0.24 ms of sequentially-dependent
-    XLA dispatches on TPU) must match the XLA max/where loop BIT-FOR-BIT:
-    values, first-lane tie-break, -inf tiles, and the per-tile leftover
-    max that feeds the exactness certificate's spill bound. CPU suites
-    never take the TPU-gated branch in _hier_candidates, so this pins the
-    kernel in interpret mode."""
+def test_extract_candidates_kernel_parity(rng):
+    """The Pallas per-tile extraction kernel (ops/topk.extract_candidates,
+    one dispatch for all m rounds — replaces 0.24 ms of
+    sequentially-dependent XLA dispatches on TPU, and emits the flat
+    j-major candidate vals + strided row indices directly) must match the
+    XLA max/where loop BIT-FOR-BIT: values, first-lane tie-break, -inf
+    tiles, row index = lane*nt + tsel, and the per-tile leftover max that
+    feeds the exactness certificate's spill bound. CPU suites never take
+    the TPU-gated branch in _hier_candidates, so this pins the kernel in
+    interpret mode."""
     import jax
     import jax.numpy as jnp
 
-    from radad_tpu.ops.topk import extract_topm
+    from radad_tpu.ops.topk import extract_candidates
 
     for b, t, m in ((4, 8, 5), (30, 24, 8), (128, 24, 8)):
+        nt = 4 * t  # pretend the slab was gathered from a 4T-tile matrix
         cand = rng.standard_normal((b, t, 128)).astype(np.float32)
         cand[0, 0, :] = -np.inf  # empty tile
         cand[1 % b, t - 1, 7] = cand[1 % b, t - 1, 99]  # exact tie
-        vals, lanes, left = extract_topm(jnp.asarray(cand), m,
-                                         interpret=True)
+        tsel = rng.integers(0, nt, size=(b, t)).astype(np.int32)
+        vals, rows, left = extract_candidates(
+            jnp.asarray(cand), jnp.asarray(tsel), m, nt, interpret=True)
         c = jnp.asarray(cand)
         col = jax.lax.broadcasted_iota(jnp.int32, (b, t, 128), 2)
-        ov, ol = [], []
+        ov, orow = [], []
         for _ in range(m):
             best = jnp.max(c, axis=-1)
             bidx = jnp.min(jnp.where(c >= best[..., None], col,
                                      jnp.int32(128)), axis=-1)
             ov.append(best)
-            ol.append(jnp.minimum(bidx, 127))
+            orow.append(jnp.minimum(bidx, 127) * nt + tsel)
             c = jnp.where(col == bidx[..., None], -jnp.inf, c)
-        assert np.array_equal(np.asarray(vals), np.stack(ov, -1)), (b, t)
-        assert np.array_equal(np.asarray(lanes), np.stack(ol, -1)), (b, t)
+        assert np.array_equal(np.asarray(vals),
+                              np.concatenate(ov, -1)), (b, t)
+        assert np.array_equal(np.asarray(rows),
+                              np.concatenate(orow, -1)), (b, t)
         assert np.array_equal(np.asarray(left),
                               np.asarray(jnp.max(c, axis=-1))), (b, t)
 
