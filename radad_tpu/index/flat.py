@@ -174,6 +174,11 @@ class FlatIndex:
         # available (use_pallas=True) and is the substrate for quantized-DB
         # modes where XLA cannot fuse the dequant+scan.
         self.use_pallas = bool(use_pallas) if use_pallas is not None else False
+        # Host-level search() splits larger query batches into fixed-shape
+        # device calls (see search); 2048 keeps the rerank kernel's SMEM
+        # row prefetch (B·r2·4 bytes of a 1 MB budget) and the [2B, cap]
+        # scan output comfortably bounded at any DB size.
+        self.search_chunk = 2048
 
     # ------------------------------------------------------------------
     @property
@@ -544,7 +549,35 @@ class FlatIndex:
             b = np.asarray(queries).shape[0]
             return (np.full((b, k), np.inf, np.float32),
                     np.full((b, k), -1, np.int64))
-        q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
+        qarr = np.ascontiguousarray(queries, dtype=np.float32)
+        if qarr.shape[0] > self.search_chunk:
+            # FAISS-parity: arbitrary nq in one call. Device graphs scale
+            # with B — the rerank kernel's SMEM row prefetch (B·r2 i32 vs
+            # a 1 MB SMEM budget) and the [2B, cap] scan output both blow
+            # up on whole-split batches (measured: a 25,423-query call
+            # OOMs SMEM at ITW scale). Run fixed-shape chunks with a
+            # padded tail so ONE compiled graph serves any nq. Exclusion
+            # stays CALL-global (one union from the whole call's ids,
+            # pipeline.py:461-463 semantics): every chunk gets the full
+            # union, padded to a 1024 quantum to bound compile variants.
+            ex = None
+            if exclude_ids is not None:
+                union = np.unique(np.asarray(exclude_ids, np.int32))
+                e_pad = -len(union) % 1024
+                ex = np.pad(union, (0, e_pad), constant_values=-2)
+            cs = self.search_chunk
+            dd, ii = [], []
+            for lo in range(0, qarr.shape[0], cs):
+                qc = qarr[lo:lo + cs]
+                pad = cs - qc.shape[0]
+                if pad:
+                    qc = np.pad(qc, ((0, pad), (0, 0)))
+                d, i = self.search(qc, k, exclude_ids=ex, nprobe=nprobe,
+                                   gather=gather)
+                dd.append(d[:cs - pad])
+                ii.append(i[:cs - pad])
+            return np.concatenate(dd), np.concatenate(ii)
+        q = jnp.asarray(qarr)
         if self.metric == "COSINE":
             q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
         if exclude_ids is None:
@@ -1098,9 +1131,12 @@ def _search_device(q, vectors, ids, exclude_ids, k, *, metric, n_valid,
     if exclude_mode == "batch":
         # Fold batch-global exclusion into the per-row machinery: rewrite
         # every excluded DB row's id to a sentinel every query matches.
+        # The exclusion list's length is deliberately decoupled from the
+        # query batch here (the [B] sentinel vector below) so the host
+        # chunked path can pass one call-level union to every chunk.
         row_excl = jnp.any(ids[:, None] == exclude_ids[None, :], axis=1)
         ids = jnp.where(row_excl, jnp.int32(-3), ids)
-        exclude_ids = jnp.full_like(exclude_ids, -3)
+        exclude_ids = jnp.full((q.shape[0],), -3, jnp.int32)
     cap = vectors.shape[0]
     larger_better = metric in ("IP", "COSINE")
 

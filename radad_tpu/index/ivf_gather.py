@@ -183,7 +183,10 @@ def ivf_gather_search(q, vectors, xsq, ids, exclude_ids, centroids,
     if exclude_mode == "batch":
         row_excl = jnp.any(ids[:, None] == exclude_ids[None, :], axis=1)
         ids = jnp.where(row_excl, jnp.int32(-3), ids)
-        exclude_ids = jnp.full_like(exclude_ids, -3)
+        # [B] sentinel vector (NOT full_like): the exclusion list's length
+        # is decoupled from the query batch so the host chunked search can
+        # pass one call-level union to every chunk
+        exclude_ids = jnp.full((q.shape[0],), -3, jnp.int32)
 
     hi = jax.lax.Precision.HIGHEST
     # Coarse quantizer: nprobe nearest centroids per query (L2).
@@ -258,7 +261,10 @@ def ivf_gather_search_chunked(q, vectors, xsq, ids, exclude_ids, centroids,
     if exclude_mode == "batch":
         row_excl = jnp.any(ids[:, None] == exclude_ids[None, :], axis=1)
         ids = jnp.where(row_excl, jnp.int32(-3), ids)
-        exclude_ids = jnp.full_like(exclude_ids, -3)
+        # [B] sentinel vector (NOT full_like): the exclusion list's length
+        # is decoupled from the query batch so the host chunked search can
+        # pass one call-level union to every chunk
+        exclude_ids = jnp.full((q.shape[0],), -3, jnp.int32)
 
     hi = jax.lax.Precision.HIGHEST
     qc = (jnp.sum(q * q, -1, keepdims=True)

@@ -31,6 +31,40 @@ def make_db(rng, n=300, d=64):
     return x, labels, paths
 
 
+def test_search_large_batch_chunked(rng):
+    """FAISS-parity: search() accepts arbitrary nq in ONE call. Device
+    graphs scale with the query batch (the rerank kernel's SMEM row
+    prefetch OOM'd on a whole-split 25k-query call at ITW scale —
+    measured via experiments/probe_sessions.py --data_dir), so the host
+    entry splits big batches into fixed-shape chunks with a padded tail.
+    Chunked results must equal the one-shot search row-for-row — and
+    exclusion stays CALL-global (pipeline.py:461-463: ONE union from the
+    whole call's ids), so a chunk-2 query must still mask a row excluded
+    by a chunk-1 query."""
+    x, labels, paths = make_db(rng, n=200)
+    from radad_tpu.data.manifest import file_id
+
+    idx = FlatIndex(64, "L2", use_pallas=False)
+    idx.add(x, labels, paths)
+    q = np.concatenate([x[:30],
+                        rng.standard_normal((33, 64)).astype(np.float32)])
+    excl = np.asarray([file_id(p) for p in paths[:30]]
+                      + [-2] * 33, np.int32)
+    d_ref, i_ref = idx.search(q, 5, exclude_ids=excl)  # 63 <= chunk: one shot
+    idx.search_chunk = 16  # force chunking incl. a ragged 15-row tail
+    d_chk, i_chk = idx.search(q, 5, exclude_ids=excl)
+    assert np.array_equal(i_ref, i_chk)
+    assert np.allclose(d_ref, d_chk)
+    # call-global union: rows 0..29 are excluded for EVERY query, even
+    # those in later chunks (q[30:] would otherwise retrieve them freely)
+    assert not np.isin(i_chk, np.arange(30)).any()
+    # and with no exclusions the same later queries DO see rows 0..29,
+    # pinning that the union assertion above is non-vacuous
+    idx.search_chunk = 2048
+    _, i_free = idx.search(q, 5)
+    assert np.isin(i_free[30:], np.arange(30)).any()
+
+
 @pytest.mark.parametrize("metric", ["L2", "IP", "COSINE"])
 def test_search_matches_oracle(metric, rng):
     x, labels, paths = make_db(rng)
