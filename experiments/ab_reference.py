@@ -400,6 +400,11 @@ def main():
     p.add_argument("--probe_batch", type=int, default=32,
                    help="batch size for the embedding/retrieval parity "
                         "probes")
+    p.add_argument("--skip_retrieval", action="store_true",
+                   help="stop after the embedding-parity probe (the "
+                        "retrieval probe's reference-side DB build is "
+                        "hours of CPU torch at whisper-base 30 s "
+                        "geometry)")
     p.add_argument("--probes_only", action="store_true",
                    help="run only the exactness probes (1)+(2), skip the "
                         "training comparison — the mode the slow pytest "
@@ -465,6 +470,14 @@ def main():
         "max_rel_diff": max(diffs) / scale}
     print(f"# embeddings: {len(diffs)} clips, max|Δ|={max(diffs):.3e} "
           f"(scale {scale:.3f})", file=sys.stderr)
+
+    if args.skip_retrieval:
+        # Embedding-parity-only record (the full-size whisper 30 s-parity
+        # point: the reference's CPU-torch DB build over the train split
+        # takes hours at that geometry; the 32-clip embedding A/B is the
+        # contract this mode pins).
+        _write_record(args.record_out, record)
+        return
 
     # ---- (2) retrieval parity --------------------------------------------
     # Build BOTH DBs over the train split, then ask both sides for the
@@ -574,7 +587,10 @@ def main():
                 "eer_percent", "macro_eer_percent", "auc", "val_acc",
                 "val_loss")}}
 
-    out_path = args.record_out
+    _write_record(args.record_out, record)
+
+
+def _write_record(out_path, record):
     existing = []
     if os.path.exists(out_path):
         with open(out_path) as f:
