@@ -117,7 +117,8 @@ def _apply_eq(wave, gains_db, sr):
     return np.fft.irfft(spec, n=len(wave))
 
 
-def make_session_params(rng: np.random.Generator, fp: float = 1.0) -> dict:
+def make_session_params(rng: np.random.Generator, fp: float = 1.0,
+                        anchors: int = 8) -> dict:
     """Draw one session's channel fingerprint + level/noise operating
     point. Identical distribution for spoof and bona-fide sessions.
 
@@ -126,15 +127,22 @@ def make_session_params(rng: np.random.Generator, fp: float = 1.0) -> dict:
     the session operating point shrinks as 1/fp. fp=1 reproduces the
     original draws bit-for-bit (same rng stream). Calibrated with
     probe_sessions.py: fp=1 gives top-5 neighbor session coherence ~0.19
-    (too weak for the retrieval-sensitivity claim); raise fp until
-    coherence dominates (~0.8)."""
+    (too weak for the retrieval-sensitivity claim); fp=4 peaks the
+    probe's neighbor-information gain at the 1600-clip scale.
+
+    ``anchors`` sets fingerprint ENTROPY (EQ anchor count): at ITW scale
+    (~4k sessions) the default 8+8-gain fingerprint space crowds —
+    top-5 neighbor session coherence measured 0.54 at 1600 clips but
+    only 0.28 at 31,779 (fingerprint collisions), halving the probe's
+    neighbor gain. More anchors give sessions more distinguishable
+    channel signatures without raising per-clip salience."""
     return {
-        # channel EQ: 8 anchor gains ~ N(0, 5·fp dB) — a strong,
+        # channel EQ: anchor gains ~ N(0, 5·fp dB) — a strong,
         # distinctive spectral tilt shared by every clip in the session
-        "eq_gains_db": rng.normal(0.0, 5.0 * fp, size=8),
+        "eq_gains_db": rng.normal(0.0, 5.0 * fp, size=anchors),
         # background texture: pink noise shaped by a second random EQ
         # (e.g. fan / room / codec noise signature of the session)
-        "bg_gains_db": rng.normal(0.0, 8.0 * fp, size=8),
+        "bg_gains_db": rng.normal(0.0, 8.0 * fp, size=anchors),
         # louder shared background as fp grows (−6 dB SNR per doubling)
         "snr_db": rng.uniform(18.0, 32.0) - 6.0 * np.log2(max(fp, 1e-6)),
         "level_db": rng.uniform(-5.0, 5.0),
@@ -279,6 +287,12 @@ def main():
                         "Calibrate with probe_sessions.py so top-5 "
                         "neighbor session coherence is high (~0.8) "
                         "without collapsing the artifact signal")
+    p.add_argument("--session_anchors", type=int, default=8,
+                   help="session-mode fingerprint entropy: EQ anchor "
+                        "count per fingerprint (8 = legacy). At ITW "
+                        "scale the 8-anchor space crowds (~4k sessions "
+                        "-> coherence 0.54@1600 drops to 0.28@31.8k); "
+                        "raise for scale-stable session signatures")
     args = p.parse_args()
     if args.session_fp <= 0:
         raise SystemExit("--session_fp must be > 0 (it scales shared-cue "
@@ -307,7 +321,8 @@ def main():
             sess = i // args.session_size
             spk = args.speaker_offset + (sess % args.speakers)
             if i % args.session_size == 0:
-                session = make_session_params(rng, fp=args.session_fp)
+                session = make_session_params(rng, fp=args.session_fp,
+                                              anchors=args.session_anchors)
                 session["f0"] = (110.0 * (2.0 ** ((spk % 24) / 12.0))
                                  * rng.uniform(0.98, 1.02))
             label = ("spoof" if (sess * args.spoof_ratio) % 1.0
@@ -351,6 +366,15 @@ def main():
         import json
         with open(os.path.join(args.out, "sessions.json"), "w") as f:
             json.dump(session_map, f)
+        # generation provenance: lets probe_sessions report the TRUE
+        # parameters of a reused dir instead of whatever was passed
+        with open(os.path.join(args.out, "session_params.json"), "w") as f:
+            json.dump({"n": args.n, "session_size": args.session_size,
+                       "session_fp": args.session_fp,
+                       "session_anchors": args.session_anchors,
+                       "hard_strength": args.hard_strength,
+                       "families": families,
+                       "speakers": args.speakers, "seed": args.seed}, f)
     with open(os.path.join(args.out, "meta.csv"), "w") as f:
         f.write("file,speaker,label\n")
         for fname, spk, label in rows:

@@ -34,7 +34,7 @@ import numpy as np
 
 def probe(n: int, session_size: int, strength: float, seed: int,
           speakers: int, families: str, data_dir: str = None,
-          session_fp: float = 1.0) -> dict:
+          session_fp: float = 1.0, session_anchors: int = 8) -> dict:
     from sklearn.linear_model import LogisticRegression
     from sklearn.preprocessing import StandardScaler
 
@@ -50,10 +50,19 @@ def probe(n: int, session_size: int, strength: float, seed: int,
     tmp = data_dir if data_dir is not None else tmp_ctx.name
     try:
         if data_dir is not None:
-            # session_fp describes GENERATION; a reused dir's true fp is
-            # whatever it was generated with — don't misstate it in the
-            # record (ADVICE r3).
-            session_fp = None
+            # session_fp/n describe GENERATION; a reused dir's truth is in
+            # its session_params.json provenance (or null for dirs
+            # generated before that file existed) — never the CLI args
+            # (ADVICE r3).
+            n = session_size = session_fp = session_anchors = None
+            pp = os.path.join(tmp, "session_params.json")
+            if os.path.exists(pp):
+                with open(pp) as f:
+                    prov = json.load(f)
+                n = prov.get("n")
+                session_size = prov.get("session_size")
+                session_fp = prov.get("session_fp")
+                session_anchors = prov.get("session_anchors")
         if data_dir is None:
             cmd = [sys.executable,
                    os.path.join(os.path.dirname(__file__),
@@ -64,7 +73,8 @@ def probe(n: int, session_size: int, strength: float, seed: int,
                    "--hard_strength", str(strength)]
             if session_size > 0:
                 cmd += ["--session_size", str(session_size),
-                        "--session_fp", str(session_fp)]
+                        "--session_fp", str(session_fp),
+                        "--session_anchors", str(session_anchors)]
             subprocess.run(cmd, check=True, capture_output=True)
         with open(os.path.join(tmp, "sessions.json")) as f:
             session_of = json.load(f)
@@ -128,8 +138,9 @@ def probe(n: int, session_size: int, strength: float, seed: int,
                               np.concatenate([xva, mean_nb_va], axis=1))
     if tmp_ctx is not None:
         tmp_ctx.cleanup()
-    return {"n": n, "session_size": session_size, "strength": strength,
-            "session_fp": session_fp,
+    return {"n": n, "n_train": len(names_tr), "n_val": len(names_va),
+            "session_size": session_size, "strength": strength,
+            "session_fp": session_fp, "session_anchors": session_anchors,
             "neighbor_session_coherence": coh,
             "probe_query_only": {"auc": auc_q, "eer": eer_q},
             "probe_query_plus_neighbors": {"auc": auc_qn, "eer": eer_qn}}
@@ -144,12 +155,14 @@ def main():
     p.add_argument("--speakers", type=int, default=79)
     p.add_argument("--families", default="inharmonic,quantize,buzz")
     p.add_argument("--session_fp", type=float, default=1.0)
+    p.add_argument("--session_anchors", type=int, default=8)
     p.add_argument("--data_dir", default=None,
                    help="reuse an existing generated dataset dir")
     args = p.parse_args()
     r = probe(args.n, args.session_size, args.strength, args.seed,
               args.speakers, args.families, data_dir=args.data_dir,
-              session_fp=args.session_fp)
+              session_fp=args.session_fp,
+              session_anchors=args.session_anchors)
     print(json.dumps(r, indent=2))
 
 
