@@ -44,6 +44,13 @@ def main():
     p.add_argument("--pipeline_check", action="store_true",
                    help="smoke mode: data_fraction=0.01, 2 epochs")
     p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--patience", type=int, default=None,
+                   help="early_stopping_patience override (epochs without "
+                        "a val-EER improvement before stopping; config "
+                        "default 5). The session-mode benchmark's "
+                        "neighbor path learns slowly after the query "
+                        "path plateaus - patience 5 cuts long runs "
+                        "mid-learning")
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--data_fraction", type=float, default=1.0)
     p.add_argument("--weights_dir", default=None)
@@ -103,6 +110,8 @@ def main():
         use_mixed_precision=args.mixed_precision,
         ablate_retrieval=args.ablate_retrieval,
         whisper_pad_seconds=None if args.whisper_fast else 30.0)
+    if args.patience is not None:
+        cfg = cfg.replace(early_stopping_patience=args.patience)
     if args.model_name:
         cfg = cfg.replace(**{f"{args.encoder}_model_name": args.model_name})
 
