@@ -115,6 +115,20 @@ def main():
     t("FULL certified (with cond)", full, qd,
       consts=(xd, x_bf, g3, resid, xsq, ids, excl))
 
+    # 5b. certified body WITHOUT the lax.cond (debug_certified returns the
+    #     verdict flag instead of branching): isolates the conditional's
+    #     dispatch/copy cost from the certificate computation itself
+    def full_nocond(q, xb, g, r, xs):
+        mask = mask_row[None, :]
+        dists, idx, cert = F._search_fast_exact(
+            q, xb, g, xs, mask, k, False, vectors=xb, resid_bf16=r,
+            debug_certified=True)
+        return q + 1e-30 * (jnp.sum(jnp.where(jnp.isfinite(dists), dists,
+                                              0.0))
+                            + jnp.float32(cert))
+    t("certified body, no cond (debug flag)", full_nocond, qd,
+      consts=(x_bf, g3, resid, xsq))
+
     # 6. core without the cond: replicate the certified body, return
     #    uncertified results directly (no conditional in the graph)
     def core_nocond(q, xb, g, r, xs):
