@@ -52,6 +52,12 @@ def main():
                         "path plateaus - patience 5 cuts long runs "
                         "mid-learning")
     p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--proj_dim", type=int, default=None,
+                   help="projection_output_dim override (reference "
+                        "config.py:60 knob; default 128). The session "
+                        "benchmark's at-scale null is consistent with "
+                        "the 128-d projection saturating at ~4k "
+                        "sessions - this tests the capacity hypothesis")
     p.add_argument("--data_fraction", type=float, default=1.0)
     p.add_argument("--weights_dir", default=None)
     p.add_argument("--wandb", action="store_true")
@@ -112,6 +118,8 @@ def main():
         whisper_pad_seconds=None if args.whisper_fast else 30.0)
     if args.patience is not None:
         cfg = cfg.replace(early_stopping_patience=args.patience)
+    if args.proj_dim is not None:
+        cfg = cfg.replace(projection_output_dim=args.proj_dim)
     if args.model_name:
         cfg = cfg.replace(**{f"{args.encoder}_model_name": args.model_name})
 
