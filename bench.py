@@ -112,11 +112,29 @@ def main():
                                  gather3=x3, resid_bf16=x_r)
         return qs + 1e-30 * jnp.sum(jnp.where(jnp.isfinite(vals), vals, 0.0))
 
-    dt = chain_time(step, qd, n=16,
-                    consts=(xd, idsd, excld, xsq, x_bf, x3, x_r))
-    qps = b / dt
-    print(f"# tpu: {dt * 1000:.3f} ms/batch → {qps:,.0f} QPS "
-          f"({n * d * 4 / dt / 1e9:.0f} GB/s effective)", file=sys.stderr)
+    # Median-of-N with spread: single-shot numbers in this environment sit
+    # inside a measured ±8 % relay band (same-day spread 110–130k QPS,
+    # docs/PERFORMANCE.md) — round-over-round deltas are only falsifiable
+    # against the reported spread. TPU reps interleave with fresh CPU
+    # baseline reps so both sides sample the same host-load conditions.
+    n_reps = 5
+    tpu_qps_samples, cpu_qps_samples = [], [cpu_qps]
+    for rep in range(n_reps):
+        dt = chain_time(step, qd, n=16,
+                        consts=(xd, idsd, excld, xsq, x_bf, x3, x_r))
+        tpu_qps_samples.append(b / dt)
+        print(f"# tpu rep {rep}: {dt * 1000:.3f} ms/batch → "
+              f"{b / dt:,.0f} QPS "
+              f"({n * d * 4 / dt / 1e9:.0f} GB/s effective)",
+              file=sys.stderr)
+        if rep < 2:
+            cpu_qps_samples.append(cpu_baseline_qps(x_host, q_host, k))
+    qps = float(np.median(tpu_qps_samples))
+    cpu_med = float(np.median(cpu_qps_samples))
+    print(f"# tpu median of {n_reps}: {qps:,.0f} QPS "
+          f"(min {min(tpu_qps_samples):,.0f} / max "
+          f"{max(tpu_qps_samples):,.0f}); cpu median {cpu_med:,.0f}",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "ITW-scale flat L2 top-5 retrieval throughput "
@@ -125,7 +143,15 @@ def main():
                   "retired — docs/PERFORMANCE.md)",
         "value": round(qps, 1),
         "unit": "queries/s",
-        "vs_baseline": round(qps / cpu_qps, 2),
+        "vs_baseline": round(qps / cpu_med, 2),
+        "spread": {
+            "reps": n_reps,
+            "min": round(min(tpu_qps_samples), 1),
+            "max": round(max(tpu_qps_samples), 1),
+            "cpu_baseline_median": round(cpu_med, 1),
+            "cpu_baseline_min": round(min(cpu_qps_samples), 1),
+            "cpu_baseline_max": round(max(cpu_qps_samples), 1),
+        },
     }))
 
 

@@ -136,6 +136,10 @@ def probe(n: int, session_size: int, strength: float, seed: int,
     auc_q, eer_q = fit_eval(xtr, xva)
     auc_qn, eer_qn = fit_eval(np.concatenate([xtr, mean_nb_tr], axis=1),
                               np.concatenate([xva, mean_nb_va], axis=1))
+    # neighbors-ONLY probe: the ceiling target for config.ablate_query
+    # runs (the fusion model's neighbor path sees only neighbor vectors,
+    # radad_model.py:32-41 — labels/distances never reach the model)
+    auc_n, eer_n = fit_eval(mean_nb_tr, mean_nb_va)
     if tmp_ctx is not None:
         tmp_ctx.cleanup()
     return {"n": n, "n_train": len(names_tr), "n_val": len(names_va),
@@ -143,6 +147,7 @@ def probe(n: int, session_size: int, strength: float, seed: int,
             "session_fp": session_fp, "session_anchors": session_anchors,
             "neighbor_session_coherence": coh,
             "probe_query_only": {"auc": auc_q, "eer": eer_q},
+            "probe_neighbors_only": {"auc": auc_n, "eer": eer_n},
             "probe_query_plus_neighbors": {"auc": auc_qn, "eer": eer_qn}}
 
 

@@ -76,6 +76,22 @@ def main():
                    help="zero the retrieved neighbors in train/eval steps "
                         "(config.ablate_retrieval): measures how much the "
                         "retrieval path contributes to EER")
+    p.add_argument("--ablate_query", action="store_true",
+                   help="neighbors-ONLY diagnostic (config.ablate_query): "
+                        "the fusion model sees a zeroed query vector while "
+                        "retrieval still uses the real one — isolates "
+                        "whether the fusion architecture can extract the "
+                        "neighbor signal at all")
+    p.add_argument("--freeze_query_epochs", type=int, default=0,
+                   help="curriculum (config.freeze_query_epochs): train "
+                        "the first N epochs neighbors-only, then joint — "
+                        "keeps the query path from drowning the neighbor "
+                        "gradient early")
+    p.add_argument("--top_k", type=int, default=None,
+                   help="retrieved-neighbor count override (reference "
+                        "config.py:56 knob; default 5). Session size 8 "
+                        "leaves 7 mates in-DB — k=5 caps the evidence "
+                        "the attention path can aggregate")
     p.add_argument("--model_name", default=None,
                    help="HF model id overriding the encoder family's "
                         "default size (e.g. facebook/wav2vec2-large-lv60, "
@@ -115,7 +131,11 @@ def main():
         usewandb=args.wandb,
         use_mixed_precision=args.mixed_precision,
         ablate_retrieval=args.ablate_retrieval,
+        ablate_query=args.ablate_query,
+        freeze_query_epochs=args.freeze_query_epochs,
         whisper_pad_seconds=None if args.whisper_fast else 30.0)
+    if args.top_k is not None:
+        cfg = cfg.replace(top_k=args.top_k)
     if args.patience is not None:
         cfg = cfg.replace(early_stopping_patience=args.patience)
     if args.proj_dim is not None:
@@ -159,6 +179,9 @@ def main():
         "whisper_fast": bool(args.whisper_fast),
         "mixed_precision": bool(args.mixed_precision),
         "ablate_retrieval": bool(args.ablate_retrieval),
+        "ablate_query": bool(args.ablate_query),
+        "freeze_query_epochs": args.freeze_query_epochs,
+        "top_k": cfg.top_k,
         "heldout_eval": heldout,
         "pretrained_weights": encoder.pretrained,
         "data_fraction": data_fraction,

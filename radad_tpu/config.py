@@ -174,6 +174,19 @@ class Config:
     # quality (a nonzero EER delta vs the default proves the retrieval
     # machinery is load-bearing, not a pass-through).
     ablate_retrieval: bool = False
+    # DIAGNOSTIC switch (no reference counterpart, dual of
+    # ablate_retrieval): the fusion model sees a ZEROED query TPP vector
+    # while retrieval still runs on the real one — a neighbors-only
+    # classifier. If it reaches the query+neighbor linear probe's EER,
+    # the fusion architecture can extract the neighbor signal (a joint
+    # null is an optimization failure); if it plateaus, the projection
+    # layer itself cannot (architecture capacity limit).
+    ablate_query: bool = False
+    # CURRICULUM (no reference counterpart): train the first N epochs
+    # with the query path zeroed (ablate_query semantics) so the
+    # neighbor-path gradient isn't drowned by the stronger query
+    # gradient early, then switch to joint training. 0 = off.
+    freeze_query_epochs: int = 0
     # Shard DB-build embed batches over the mesh 'data' axis so the
     # dominant multi-chip phase scales. None = auto: on for meshes of real
     # accelerators, off for cpu-platform (virtual test) meshes where the

@@ -525,7 +525,8 @@ class FlatIndex:
     # ------------------------------------------------------------------
     def search(self, queries, k: int, *, exclude_ids=None,
                nprobe: Optional[int] = None,
-               gather: Optional[bool] = None
+               gather: Optional[bool] = None,
+               _ids=None, _exclude_mode: str = "batch"
                ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k over the index: → (distances [B,k], indices [B,k]).
 
@@ -558,13 +559,22 @@ class FlatIndex:
             # OOMs SMEM at ITW scale). Run fixed-shape chunks with a
             # padded tail so ONE compiled graph serves any nq. Exclusion
             # stays CALL-global (one union from the whole call's ids,
-            # pipeline.py:461-463 semantics): every chunk gets the full
-            # union, padded to a 1024 quantum to bound compile variants.
-            ex = None
+            # pipeline.py:461-463 semantics): the union is folded into the
+            # stored-id column ONCE here (excluded rows' ids rewritten to
+            # the -3 sentinel — the same state the per-chunk "batch" fold
+            # would produce), so each chunk skips the O(cap·E) refold and
+            # pays only the [B, cap] sentinel compare it does anyway.
+            ids_use, ex_mode, ex_chunk = None, "batch", None
             if exclude_ids is not None:
                 union = np.unique(np.asarray(exclude_ids, np.int32))
-                e_pad = -len(union) % 1024
-                ex = np.pad(union, (0, e_pad), constant_values=-2)
+                # Pad to a 1024 quantum (with the matches-nothing -2
+                # sentinel) to bound the helper's compile variants.
+                union = np.pad(union, (0, -len(union) % 1024),
+                               constant_values=-2)
+                ids_use = _fold_exclusion_union(
+                    self.ids, jnp.asarray(union, jnp.int32))
+                ex_mode = "self"
+                ex_chunk = np.full((self.search_chunk,), -3, np.int32)
             cs = self.search_chunk
             dd, ii = [], []
             for lo in range(0, qarr.shape[0], cs):
@@ -572,11 +582,13 @@ class FlatIndex:
                 pad = cs - qc.shape[0]
                 if pad:
                     qc = np.pad(qc, ((0, pad), (0, 0)))
-                d, i = self.search(qc, k, exclude_ids=ex, nprobe=nprobe,
-                                   gather=gather)
+                d, i = self.search(qc, k, exclude_ids=ex_chunk,
+                                   nprobe=nprobe, gather=gather,
+                                   _ids=ids_use, _exclude_mode=ex_mode)
                 dd.append(d[:cs - pad])
                 ii.append(i[:cs - pad])
             return np.concatenate(dd), np.concatenate(ii)
+        ids_arr = self.ids if _ids is None else _ids
         q = jnp.asarray(qarr)
         if self.metric == "COSINE":
             q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
@@ -602,26 +614,28 @@ class FlatIndex:
             if gather or (gather is None and 2 * touched < self.n):
                 if touched_chunk <= touched_span:
                     dists, idx = ivf_gather_search_chunked(
-                        q, self.vectors, self.norms_sq, self.ids,
+                        q, self.vectors, self.norms_sq, ids_arr,
                         exclude_ids, self.centroids, self.ivf_chunk_rows,
                         self.ivf_cell_chunks, self.cells, k,
-                        nprobe=np_eff, budget=budget, n_valid=self.n)
+                        nprobe=np_eff, budget=budget, n_valid=self.n,
+                        exclude_mode=_exclude_mode)
                 else:
                     dists, idx = ivf_gather_search(
-                        q, self.vectors, self.norms_sq, self.ids,
+                        q, self.vectors, self.norms_sq, ids_arr,
                         exclude_ids, self.centroids, self.ivf_table,
-                        self.ivf_overflow, k, nprobe=np_eff)
+                        self.ivf_overflow, k, nprobe=np_eff,
+                        exclude_mode=_exclude_mode)
                 return np.asarray(dists), np.asarray(idx).astype(np.int64)
         cells = self.cells if self.metric == "IVF" else None
         cents = self.centroids if self.metric == "IVF" else None
         dists, idx = _search_device(
-            q, self.vectors, self.ids, exclude_ids, k,
+            q, self.vectors, ids_arr, exclude_ids, k,
             metric=self.metric, n_valid=self.n,
             centroids=cents, cells=cells,
             nprobe=self.nprobe if nprobe is None else int(nprobe),
             use_pallas=self.use_pallas, xsq=self.norms_sq,
             scan_bf16=self.scan_bf16, gather3=self.gather3,
-            resid_bf16=self.resid_bf16)
+            resid_bf16=self.resid_bf16, exclude_mode=_exclude_mode)
         return np.asarray(dists), np.asarray(idx).astype(np.int64)
 
     def search_device(self, q: jnp.ndarray, k: int, *,
@@ -1106,6 +1120,16 @@ def _search_fast_exact(q, scan_bf16, gather3, xsq, mask, k, larger_better,
                 jnp.where(ok, ti, -1).astype(jnp.int32))
 
     return jax.lax.cond(certified, _keep, _full_rescan, None)
+
+
+@jax.jit
+def _fold_exclusion_union(ids, union):
+    """Rewrite ids of rows in ``union`` to the -3 sentinel (the state the
+    per-call "batch" exclusion fold produces) ONCE, so a chunked search
+    can pass exclude_mode="self" + a full(-3) query vector to every chunk
+    instead of refolding the O(cap·E) union per chunk."""
+    row_excl = jnp.any(ids[:, None] == union[None, :], axis=1)
+    return jnp.where(row_excl, jnp.int32(-3), ids)
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "n_valid", "nprobe",

@@ -63,7 +63,8 @@ def make_parallel_train_step(model, encoder, config, opt, mesh: Mesh,
         # silently dropped here would make the two paths drift despite
         # sharing the step core (e.g. a mesh-path ablation run would
         # quietly train WITH retrieval)
-        ablate_retrieval=config.ablate_retrieval)
+        ablate_retrieval=config.ablate_retrieval,
+        ablate_query=config.ablate_query)
 
     def step(variables, opt_state, enc_params, index_args, audio,
              batch_labels, exclude_ids, valid, pos_weight, rng):

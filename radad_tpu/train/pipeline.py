@@ -214,7 +214,7 @@ ACC_KEYS = ("loss_sum", "correct", "count", "nnz_sum", "gn_proj_sum",
 
 def make_step_fns(model, opt, retrieve, *, k, metric, n_valid,
                   watch_grads=False, grad_checkpoint=False,
-                  ablate_retrieval=False):
+                  ablate_retrieval=False, ablate_query=False):
     """Single source of truth for the train/eval step math (un-jitted).
 
     ``DetectionPipeline._build_steps`` jits these with its mesh shardings;
@@ -263,14 +263,26 @@ def make_step_fns(model, opt, retrieve, *, k, metric, n_valid,
             nlabels = jnp.zeros_like(nlabels)
         return jnp.nan_to_num(neighbors), nlabels  # pipeline.py:801-803
 
+    def model_tpp(tpp):
+        # config.ablate_query: the MODEL sees a zeroed query vector while
+        # retrieval still uses the real one — isolates the neighbor path
+        # (the radad_model.py:39 fuse input's tpp half) as its own
+        # classifier. The diagnostic counterpart of ablate_retrieval:
+        # if a neighbors-only model reaches the query+neighbor linear
+        # probe's EER, the fusion architecture CAN extract the neighbor
+        # signal and a joint-training null is an optimization problem;
+        # if it plateaus too, the projection layer itself is the limit.
+        return jnp.zeros_like(tpp) if ablate_query else tpp
+
     def train_step(variables, opt_state, acc, index_args,
                    tpp, batch_labels, exclude_ids, valid, pos_weight,
                    rng):
         neighbors, _ = common(index_args, tpp, exclude_ids)
+        tpp_m = model_tpp(tpp)
 
         def loss_fn(params):
             vs = {**variables, "params": params}
-            logits, updates = forward(vs, neighbors, tpp, train=True,
+            logits, updates = forward(vs, neighbors, tpp_m, train=True,
                                       rng=rng)
             loss = optim.pos_weighted_bce(logits, batch_labels,
                                           pos_weight, valid)
@@ -327,7 +339,8 @@ def make_step_fns(model, opt, retrieve, *, k, metric, n_valid,
 
     def eval_step(variables, index_args, tpp, exclude_ids):
         neighbors, nlabels = common(index_args, tpp, exclude_ids)
-        logits, _ = forward(variables, neighbors, tpp, train=False)
+        logits, _ = forward(variables, neighbors, model_tpp(tpp),
+                            train=False)
         return logits, nlabels
 
     return train_step, eval_step
@@ -1016,13 +1029,19 @@ class DetectionPipeline:
         return len(sub)
 
     # ------------------------------------------------------------------
-    def _build_steps(self):
+    def _build_steps(self, ablate_query: Optional[bool] = None):
         """Compile train/eval steps against the current index capacity.
 
         Steps take the query TPP embeddings directly — the frozen encoder
         runs once per clip in ``get_embeddings`` (or per batch in
-        no-cache mode), not inside the gradient step."""
+        no-cache mode), not inside the gradient step.
+
+        ``ablate_query`` overrides ``config.ablate_query`` for this build
+        (the freeze_query_epochs curriculum rebuilds the steps at the
+        stage boundary — one extra compile, not a per-step cost)."""
         cfg = self.config
+        if ablate_query is None:
+            ablate_query = cfg.ablate_query
         metric = self.index.metric if self.index.metric != "IVF" else "L2"
         train_step, eval_step = make_step_fns(
             self.model, self.opt, self._retrieve,
@@ -1031,7 +1050,8 @@ class DetectionPipeline:
             # parity path); otherwise the step graph stays lean.
             watch_grads=self.wandb.active,
             grad_checkpoint=cfg.use_gradient_checkpointing,
-            ablate_retrieval=cfg.ablate_retrieval)
+            ablate_retrieval=cfg.ablate_retrieval,
+            ablate_query=ablate_query)
 
         mesh = self.mesh
         if mesh is not None:
@@ -1099,6 +1119,11 @@ class DetectionPipeline:
         if self.index.ntotal == 0:
             self.build_vector_database(train_manifest, async_save=True)
         self._ensure_model_state()
+        if cfg.freeze_query_epochs > 0:
+            # Curriculum stage 1: neighbors-only (query path zeroed) so
+            # the neighbor gradient isn't drowned early; stage 2 below
+            # rebuilds the joint steps at the boundary epoch.
+            self._build_steps(ablate_query=True)
         train_step, _ = self._steps()
 
         pos_weight = train_manifest.pos_weight()
@@ -1111,6 +1136,12 @@ class DetectionPipeline:
         # `patience` validated epochs without an EER improvement)
 
         for epoch in range(cfg.num_epochs):
+            if cfg.freeze_query_epochs > 0 and epoch == cfg.freeze_query_epochs:
+                logger.info("Curriculum: unfreezing the query path at "
+                            "epoch %d (joint training)", epoch + 1)
+                self._build_steps()
+                train_step = self._train_step
+                epochs_since_best = 0  # stage-2 metric scale differs
             t_epoch = time.time()
             acc = {k: jnp.float32(0.0) for k in (
                 "loss_sum", "correct", "count", "nnz_sum", "gn_proj_sum",
@@ -1202,6 +1233,10 @@ class DetectionPipeline:
                             if v is not None})
             if val_manifest is not None and cfg.early_stopping_patience > 0:
                 epochs_since_best = 0 if is_best else epochs_since_best + 1
+                if epoch + 1 <= cfg.freeze_query_epochs:
+                    # never early-stop inside curriculum stage 1 — the
+                    # joint stage hasn't had a chance yet
+                    epochs_since_best = 0
                 if epochs_since_best >= cfg.early_stopping_patience:
                     logger.info(
                         "Early stopping at epoch %d: no EER improvement "
@@ -1356,12 +1391,16 @@ class DetectionPipeline:
                 deterministic=True, use_running_average=True)
         else:
             metric = self.index.metric if self.index.metric != "IVF" else "L2"
-            audio, exclude, lengths, _ = self._pad_serving_batch(
+            audio, exclude, lengths, true_b = self._pad_serving_batch(
                 audio, exclude, lengths)
             logits, nlabels, dists, idx = self._predict_graph(
                 metric, self.index.ntotal, cfg.top_k)(
                 self.encoder.params, self._index_args(serving=True),
                 self.variables, jnp.asarray(audio), exclude, lengths)
+            # Padded rows must never leak into payloads, whatever a
+            # future caller does with the outputs.
+            logits, nlabels = logits[:true_b], nlabels[:true_b]
+            dists, idx = dists[:true_b], idx[:true_b]
         logit = float(np.asarray(logits).reshape(-1)[0])
         prob_spoof = float(jax.nn.sigmoid(logit))
         idx_np = np.asarray(idx)[0]
@@ -1431,7 +1470,7 @@ class DetectionPipeline:
             # independent requests must not exclude each other's files —
             # per-row self exclusion here (training uses the reference's
             # batch-global mode)
-            waves, exclude, lengths, _ = self._pad_serving_batch(
+            waves, exclude, lengths, true_b = self._pad_serving_batch(
                 waves, exclude, lengths)
             logits, nlabels, dists, idx = self._predict_graph(
                 metric, self.index.ntotal, cfg.top_k,
@@ -1439,6 +1478,10 @@ class DetectionPipeline:
                 self.encoder.params, self._index_args(serving=True),
                 self.variables,
                 jnp.asarray(waves), exclude, lengths)
+            # Slice padding off immediately so padded rows can never leak
+            # into payloads (true_b == b == len(audio_paths)).
+            logits, nlabels = logits[:true_b], nlabels[:true_b]
+            dists, idx = dists[:true_b], idx[:true_b]
         logits_np = np.asarray(logits).reshape(-1)
         idx_np = np.asarray(idx)
         nlab_np = np.asarray(nlabels)

@@ -11,10 +11,23 @@ import os
 # pointing at a TPU plugin, and TPU matmuls default to low precision —
 # parity tests need CPU f32 math.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Subprocesses spawned by tests must not dial the TPU relay either: the
+# axon plugin registers at interpreter start (sitecustomize) unless this
+# is empty, and once registered it pins the platform choice past the
+# JAX_PLATFORMS env force above.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# In THIS process the plugin may already be registered (sitecustomize ran
+# before pytest imported us), and registration overrides the env var. The
+# config knob still wins as long as no backend has been initialized yet —
+# pytest collection imports modules but runs no computations.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
