@@ -138,9 +138,23 @@ def pct(xs, p):
     return float(np.percentile(np.asarray(xs), p))
 
 
+def stage_summary(stage_dicts):
+    """Per-stage p50/p99 over the ``timings_ms`` dicts the app returns
+    (parse / ensure_wav / predict / enrich from the HTTP layer; queue /
+    decode / device / payload from the batcher+pipeline)."""
+    keys = sorted({k for d in stage_dicts for k in d if k != "batch"})
+    out = {}
+    for k in keys:
+        vals = [d[k] for d in stage_dicts if k in d]
+        if vals:
+            out[k] = {"p50_ms": round(pct(vals, 50), 2),
+                      "p99_ms": round(pct(vals, 99), 2)}
+    return out
+
+
 def run_clients(url, files, n_clients, reqs_per_client):
     """Closed-loop load: each client posts its requests back to back."""
-    lat, errs = [], []
+    lat, errs, stages = [], [], []
     lock = threading.Lock()
 
     def client(ci):
@@ -153,6 +167,8 @@ def run_clients(url, files, n_clients, reqs_per_client):
                         errs.append(payload)
                     else:
                         lat.append(dt)
+                        if payload.get("timings_ms"):
+                            stages.append(payload["timings_ms"])
             except Exception as e:  # noqa: BLE001 — record, keep loading
                 with lock:
                     errs.append(str(e))
@@ -165,7 +181,7 @@ def run_clients(url, files, n_clients, reqs_per_client):
     for t in threads:
         t.join()
     wall = time.time() - t0
-    return lat, errs, wall
+    return lat, errs, wall, stages
 
 
 def main():
@@ -233,7 +249,7 @@ def main():
     print(f"# first request (compile): {time.time() - t0:.0f}s",
           file=sys.stderr)
     for conc in ((2,) if args.smoke else (2, 4, 8, 16)):
-        lat, errs, _ = run_clients(url, files, conc, 2)
+        lat, errs, _, _ = run_clients(url, files, conc, 2)
         assert not errs, errs[:2]
         print(f"# warmup conc={conc}: p50 {pct(lat, 50)*1e3:.0f} ms",
               file=sys.stderr)
@@ -249,23 +265,26 @@ def main():
     }
 
     # ---- sequential phase
-    seq = []
+    seq, seq_stages = [], []
     for i in range(4 if args.smoke else 32):
         dt, status, payload = _post_filename(url, files[i % len(files)])
         assert status == 200 and payload["ok"], payload
         assert len(payload["neighbors"]) > 0
         seq.append(dt)
+        if payload.get("timings_ms"):
+            seq_stages.append(payload["timings_ms"])
     record["sequential"] = {
         "requests": len(seq),
         "p50_ms": round(pct(seq, 50) * 1e3, 1),
         "p95_ms": round(pct(seq, 95) * 1e3, 1),
+        "stages": stage_summary(seq_stages),
     }
     print(f"# sequential: p50 {record['sequential']['p50_ms']} ms, "
           f"p95 {record['sequential']['p95_ms']} ms", file=sys.stderr)
 
     # ---- concurrent phases (closed-loop)
     for conc, per in (((2, 2),) if args.smoke else ((8, 16), (16, 12))):
-        lat, errs, wall = run_clients(url, files, conc, per)
+        lat, errs, wall, stages = run_clients(url, files, conc, per)
         n = conc * per
         phase = {
             "requests": n, "errors": len(errs),
@@ -273,6 +292,7 @@ def main():
             "p50_ms": round(pct(lat, 50) * 1e3, 1),
             "p95_ms": round(pct(lat, 95) * 1e3, 1),
             "wall_s": round(wall, 2),
+            "stages": stage_summary(stages),
         }
         record[f"concurrent_{conc}"] = phase
         print(f"# conc={conc}: {phase['throughput_rps']} req/s, "

@@ -69,9 +69,10 @@ class PredictBatcher:
 
     def predict(self, path: str) -> dict:
         import concurrent.futures as _f
+        import time as _time
 
         fut: "_f.Future" = _f.Future()
-        self._q.put((path, fut))
+        self._q.put((path, fut, _time.perf_counter()))
         return fut.result(timeout=600)
 
     def _bucket(self, n: int) -> int:
@@ -85,27 +86,45 @@ class PredictBatcher:
         import time as _time
 
         while True:
-            path, fut = self._q.get()
-            batch = [(path, fut)]
-            deadline = _time.time() + self.linger
+            path, fut, t_enq = self._q.get()
+            batch = [(path, fut, t_enq)]
+            # Adaptive linger: drain whatever already queued while the
+            # previous device call was in flight (free coalescing), but
+            # only wait the linger window for stragglers when this batch
+            # is already >1 — a solo request fires immediately. Sequential
+            # clients stop paying the full linger per request (measured
+            # 20 ms of the 1M-row 160 ms p50); bursts still coalesce
+            # because later requests arrive while the device is busy.
             while len(batch) < self.max_batch:
-                remaining = deadline - _time.time()
-                if remaining <= 0:
-                    break
                 try:
-                    batch.append(self._q.get(timeout=remaining))
+                    batch.append(self._q.get_nowait())
                 except _queue.Empty:
                     break
-            paths = [p for p, _ in batch]
+            if 1 < len(batch) < self.max_batch:
+                deadline = _time.time() + self.linger
+                while len(batch) < self.max_batch:
+                    remaining = deadline - _time.time()
+                    if remaining <= 0:
+                        break
+                    try:
+                        batch.append(self._q.get(timeout=remaining))
+                    except _queue.Empty:
+                        break
+            paths = [p for p, _, _ in batch]
             bucket = self._bucket(len(paths))
             padded = paths + [paths[-1]] * (bucket - len(paths))
+            t_start = _time.perf_counter()
             try:
                 results = self.pipeline.predict_batch(padded)
-                for (p, f), r in zip(batch, results):
+                for (p, f, tq), r in zip(batch, results):
+                    # per-request batcher wait: linger + any in-flight
+                    # device call ahead of this batch
+                    r.setdefault("stage_ms", {})["queue"] = round(
+                        (t_start - tq) * 1e3, 2)
                     if not f.cancelled():
                         f.set_result(r)
             except Exception as e:  # pragma: no cover
-                for _, f in batch:
+                for _, f, _ in batch:
                     if not f.cancelled():
                         f.set_exception(e)
 
@@ -333,6 +352,9 @@ class Handler(BaseHTTPRequestHandler):
 
     # -------------------------------------------------- POST
     def do_POST(self):
+        import time as _time
+
+        t0 = _time.perf_counter()
         st = self.state
         if self.path.split("?")[0] != "/api/predict":
             return self._json({"ok": False, "error": "not found"}, 404)
@@ -370,9 +392,12 @@ class Handler(BaseHTTPRequestHandler):
                                        "choose an existing filename."}, 400)
 
         try:
+            t_parse = _time.perf_counter()
             usable = ensure_wav(src_path, st.upload_dir,
                                 st.config.sample_rate)
+            t_wav = _time.perf_counter()
             result = st.batcher.predict(usable)
+            t_pred = _time.perf_counter()
             neighbors = []
             for r in result.get("retrieved", []):
                 fname = os.path.basename(r.get("file") or r.get("path") or "")
@@ -395,6 +420,17 @@ class Handler(BaseHTTPRequestHandler):
                     else float(dist),
                     "url": f"/audio/{fname}" if os.path.exists(apath) else "",
                 })
+            # Per-stage latency breakdown (ms): HTTP parse+save, wav
+            # probe/transcode, batcher (queue + decode + device +
+            # payload from the pipeline), neighbor enrichment. Sums to
+            # ~the client-observed latency minus network; a p50
+            # regression at 1M rows is attributable to a stage.
+            t_enrich = _time.perf_counter()
+            timings = {"parse": round((t_parse - t0) * 1e3, 2),
+                       "ensure_wav": round((t_wav - t_parse) * 1e3, 2),
+                       "predict": round((t_pred - t_wav) * 1e3, 2),
+                       "enrich": round((t_enrich - t_pred) * 1e3, 2)}
+            timings.update(result.get("stage_ms", {}))
             return self._json({
                 "ok": True,
                 "source": {
@@ -407,6 +443,7 @@ class Handler(BaseHTTPRequestHandler):
                 "probability_spoof": float(
                     result.get("probability_spoof", 0.0)),
                 "neighbors": neighbors,
+                "timings_ms": timings,
             })
         except Exception as e:
             logger.exception("predict failed")

@@ -1438,6 +1438,7 @@ class DetectionPipeline:
         mean — same semantics as training."""
         cfg = self.config
         self._ensure_model_state()
+        t0 = time.perf_counter()
         lengths = None
         if cfg.max_duration is None:
             waves = np.stack([
@@ -1454,6 +1455,7 @@ class DetectionPipeline:
                 [max(min(len(w), cfg.analysis_samples), 1) for w in raw],
                 jnp.int32)
         exclude = jnp.asarray([file_id(p) for p in audio_paths], jnp.int32)
+        t_decode = time.perf_counter()
         b = len(audio_paths)
         if self.index.ntotal == 0:
             tpp = self._embed(self.encoder.params, jnp.asarray(waves),
@@ -1486,6 +1488,7 @@ class DetectionPipeline:
         idx_np = np.asarray(idx)
         nlab_np = np.asarray(nlabels)
         dist_np = np.asarray(dists)
+        t_device = time.perf_counter()
         out = []
         for row, path in enumerate(audio_paths):
             prob = float(jax.nn.sigmoid(logits_np[row]))
@@ -1508,6 +1511,17 @@ class DetectionPipeline:
                 "retrieved_files": [r["file"] for r in retrieved],
                 "retrieved": retrieved,
             })
+        t_payload = time.perf_counter()
+        # Per-call stage breakdown (shared by every clip in the batch):
+        # host audio decode, device graph incl. result sync, payload
+        # assembly. Serving reports these per request (serve/app.py) so
+        # a latency regression is attributable to a stage, not a guess.
+        stage_ms = {"decode": round((t_decode - t0) * 1e3, 2),
+                    "device": round((t_device - t_decode) * 1e3, 2),
+                    "payload": round((t_payload - t_device) * 1e3, 2),
+                    "batch": b}
+        for o in out:
+            o["stage_ms"] = dict(stage_ms)
         return out
 
     # ------------------------------------------------------------------
