@@ -94,6 +94,11 @@ def main():
     p.add_argument("--balance", type=float, default=0.0,
                    help="kmeans split-refinement strength "
                         "(index/ivf.py; 0 = plain Lloyd)")
+    p.add_argument("--sq8_refine", type=int, default=0, choices=[0, 4],
+                   help="int4 refinement level (+0.5 B/dim, ~12-bit "
+                        "rerank fidelity - the capacity-mode recall fix)")
+    p.add_argument("--sq8_depth", type=int, default=None,
+                   help="SQ8 fallback-rerank candidate depth override")
     p.add_argument("--sq8_residual", type=int, default=0,
                    help="SQ8 residual-encoding codebook size "
                         "(index/quantized.py; 0 = plain per-row SQ8)")
@@ -425,7 +430,9 @@ def main():
         # take-dequant path, whose cost is noise against the O(N) int8
         # scan at this scale.
         qidx = QuantizedIndex(d, "L2", capacity=n, build_accel=False,
-                              residual_nlist=rn)
+                              residual_nlist=rn,
+                              refine_bits=args.sq8_refine,
+                              rerank_depth=args.sq8_depth)
         chunk = 100_000
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
@@ -439,19 +446,21 @@ def main():
                   file=sys.stderr)
 
         def search_sq8(qs, codes, scales, norm_sq, sids, excl, codes3,
-                       *resid):
-            cents, cls = resid if resid else (None, None)
+                       cents, cls, codes2, scales2):
             dists, idx, _ = _sq8_search(
                 qs, codes, scales, norm_sq, sids, excl, k, metric="L2",
-                n_valid=n, codes3=codes3, centroids=cents, cells=cls)
+                n_valid=n, codes3=codes3, centroids=cents, cells=cls,
+                codes2=codes2, scales2=scales2,
+                rerank_depth=args.sq8_depth)
             return dists, idx
 
         consts_sq8 = (qidx.codes, qidx.scales, qidx.norm_sq, qidx.ids,
-                      excl, qidx.codes3)
-        if rn:
-            consts_sq8 = consts_sq8 + (qidx.centroids, qidx.cells)
-        bench_mode("SQ8 int8" + (f" residual_nlist={rn}" if rn else ""),
-                   search_sq8, jnp.asarray(q_full), consts_sq8)
+                      excl, qidx.codes3, qidx.centroids, qidx.cells,
+                      qidx.codes2, qidx.scales2)
+        tag = "SQ8 int8" + (f" residual_nlist={rn}" if rn else "") + \
+            (f" refine4 depth={args.sq8_depth or 'auto'}"
+             if args.sq8_refine else "")
+        bench_mode(tag, search_sq8, jnp.asarray(q_full), consts_sq8)
 
     with open("experiments/million_row_bench.json", "w") as f:
         json.dump(results, f, indent=1)

@@ -92,6 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SQ8 residual-encoding codebook size (0 = plain "
                         "per-row SQ8; ~1024 recovers recall on clustered "
                         "embeddings at unchanged scan cost)")
+    p.add_argument("--sq8_refine_bits", type=int, default=None,
+                   choices=[0, 4],
+                   help="int4 refinement level for SQ8 (+0.5 B/dim → "
+                        "~12-bit rerank/neighbor fidelity; capacity-mode "
+                        "recall fix, single-chip)")
     p.add_argument("--weights_dir", type=str, default=None,
                    help="Directory with local HF checkpoints for encoders")
     p.add_argument("--seed", type=int, default=None)
@@ -166,6 +171,8 @@ def config_from_args(args) -> "Config":
         over["vector_db_ivf_retrain_on_add"] = False
     if args.sq8_residual_nlist is not None:
         over["sq8_residual_nlist"] = args.sq8_residual_nlist
+    if args.sq8_refine_bits is not None:
+        over["sq8_refine_bits"] = args.sq8_refine_bits
     if args.seed is not None:
         over["random_seed"] = args.seed
     if args.max_duration is not None and args.mode != "predict":

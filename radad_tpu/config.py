@@ -115,6 +115,16 @@ class Config:
     # residual range is the within-cluster spread, so recall vs the f32
     # oracle recovers at unchanged scan cost — index/quantized.py.
     sq8_residual_nlist: int = 0
+    # int4 refinement level for SQ8 (0 = off, 4 = store a packed second
+    # residual level at +0.5 B/dim → ~12-bit reconstruction fidelity,
+    # used by the rerank/neighbor fetch in index.search()/predict; the
+    # int8 scan is unchanged). Single-chip capacity-mode feature (the
+    # mesh SQ8 path consumes the canonical int8 arrays only).
+    sq8_refine_bits: int = 0
+    # Fallback-rerank candidate depth for SQ8 (None = max(4k, 32)).
+    # Deeper candidates matter at capacity scale where int8 scan noise
+    # can push a true neighbor past rank 32.
+    sq8_rerank_depth: Optional[int] = None
     top_k: int = 5
 
     # --- Projection layer (reference config.py:59-60, :80) ---

@@ -61,11 +61,40 @@ def quantize_rows(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return codes, scale.astype(np.float32)
 
 
+def quantize_refinement(r2: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """int4 refinement codec: the SECOND residual level (x minus the int8
+    reconstruction) packed two nibbles per byte → (uint8 [N, D/2] packed,
+    f32 [N] scales). With per-row symmetric int8 whose error is ±step/2,
+    max|r2| ≈ step/2, so the refinement step is ~step/14 — a combined
+    ~12-bit code at 1.5 bytes/dim (capacity budget: 8.1 GB at 1M × 5376
+    vs bf16's 10.75 GB). This is the "int4 on the residual" capacity-mode
+    recall fix (VERDICT r4 #7; FAISS's re-ranking-refinement regime)."""
+    assert r2.shape[-1] % 2 == 0, "refinement needs an even dimension"
+    scale = np.maximum(np.max(np.abs(r2), axis=-1) / 7.0, 1e-12)
+    q4 = np.clip(np.round(r2 / scale[:, None]), -7, 7).astype(np.int8)
+    packed = ((q4[:, 0::2] & 0xF) |
+              ((q4[:, 1::2] & 0xF) << 4)).astype(np.uint8)
+    return packed, scale.astype(np.float32)
+
+
+def unpack_refinement(packed, scales):
+    """jnp: packed uint8 [..., D/2] + per-row scales [...] → f32 [..., D]
+    refinement values (sign-extended 4-bit two's complement nibbles)."""
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    vals = jnp.stack([lo, hi], axis=-1).reshape(
+        packed.shape[:-1] + (packed.shape[-1] * 2,))
+    return vals.astype(jnp.float32) * scales[..., None]
+
+
 @partial(jax.jit, static_argnames=("k", "metric", "n_valid",
-                                   "exclude_mode"))
+                                   "exclude_mode", "rerank_depth"))
 def _sq8_search(q, v_codes, v_scale, v_norm_sq, ids, exclude_ids, k, *,
                 metric, n_valid, codes3=None, exclude_mode="batch",
-                centroids=None, cells=None):
+                centroids=None, cells=None, codes2=None, scales2=None,
+                rerank_depth=None):
     """int8 MXU scan + f32 rerank of dequantized candidates.
 
     Two rerank formulations:
@@ -144,8 +173,19 @@ def _sq8_search(q, v_codes, v_scale, v_norm_sq, ids, exclude_ids, k, *,
                                   ).reshape(safe.shape)
             qc = qc + jnp.take_along_axis(
                 qcent, jnp.maximum(cand_cells, 0), axis=1)
+        if codes2 is not None:
+            # int4 refinement term on the candidates only (B·R rows):
+            # q·r2̂ via an XLA gather + einsum — small beside the O(N)
+            # scan; the Pallas kernel stays int8-only.
+            ref = unpack_refinement(
+                jnp.take(codes2, safe.reshape(-1), axis=0),
+                jnp.take(scales2, safe.reshape(-1)))
+            qc = qc + jnp.einsum(
+                "bd,brd->br", q,
+                ref.reshape(safe.shape + (q.shape[1],)), precision=hi)
     else:
-        r = min(max(4 * k, 32), cap)
+        r = (min(int(rerank_depth), cap) if rerank_depth
+             else min(max(4 * k, 32), cap))
         cand_scores, cand_idx = jax.lax.top_k(scores, r)
         safe = jnp.clip(cand_idx, 0, cap - 1)
         cand = jnp.take(v_codes, safe.reshape(-1), axis=0
@@ -158,6 +198,10 @@ def _sq8_search(q, v_codes, v_scale, v_norm_sq, ids, exclude_ids, k, *,
             cand = cand + jnp.take(
                 centroids, jnp.maximum(cand_cells, 0), axis=0
             ).reshape(cand.shape)
+        if codes2 is not None:
+            cand = cand + unpack_refinement(
+                jnp.take(codes2, safe.reshape(-1), axis=0),
+                jnp.take(scales2, safe.reshape(-1))).reshape(cand.shape)
         qc = jnp.einsum("bd,brd->br", q, cand, precision=hi)
 
     if larger_better:
@@ -182,6 +226,10 @@ def _sq8_search(q, v_codes, v_scale, v_norm_sq, ids, exclude_ids, k, *,
         top_cells = jnp.take(cells, top_safe.reshape(-1))
         nb = nb + jnp.take(centroids, jnp.maximum(top_cells, 0), axis=0
                            ).reshape(nb.shape)
+    if codes2 is not None:
+        nb = nb + unpack_refinement(
+            jnp.take(codes2, top_safe.reshape(-1), axis=0),
+            jnp.take(scales2, top_safe.reshape(-1))).reshape(nb.shape)
     neighbors = jnp.where(ok[..., None], nb, 0.0)
     return dists, jnp.where(ok, idx, -1), neighbors
 
@@ -189,7 +237,8 @@ def _sq8_search(q, v_codes, v_scale, v_norm_sq, ids, exclude_ids, k, *,
 def retrieve_on_device_sq8(tpp, codes, scales, norm_sq, labels, ids,
                            exclude_ids, *, k, metric, n_valid, codes3=None,
                            exclude_mode="batch", centroids=None,
-                           cells=None):
+                           cells=None, codes2=None, scales2=None,
+                           rerank_depth=None):
     """In-graph SQ8 retrieval with the same contract as
     ``radad_tpu.train.pipeline.retrieve_on_device``: → (neighbors [B,k,D]
     dequantized, labels [B,k], dists [B,k], idx [B,k])."""
@@ -199,7 +248,8 @@ def retrieve_on_device_sq8(tpp, codes, scales, norm_sq, labels, ids,
     dists, idx, neighbors = _sq8_search(
         q, codes, scales, norm_sq, ids, exclude_ids, k,
         metric=metric, n_valid=n_valid, codes3=codes3,
-        exclude_mode=exclude_mode, centroids=centroids, cells=cells)
+        exclude_mode=exclude_mode, centroids=centroids, cells=cells,
+        codes2=codes2, scales2=scales2, rerank_depth=rerank_depth)
     safe = jnp.maximum(idx, 0)
     nlabels = jnp.where(idx >= 0,
                         jnp.take(labels, safe.reshape(-1)).reshape(idx.shape),
@@ -212,7 +262,8 @@ class QuantizedIndex:
 
     def __init__(self, dimension: int, metric: str = "L2", *,
                  build_accel: bool = True, capacity: Optional[int] = None,
-                 residual_nlist: int = 0, kmeans_iters: int = 25):
+                 residual_nlist: int = 0, kmeans_iters: int = 25,
+                 refine_bits: int = 0, rerank_depth: Optional[int] = None):
         metric = metric.upper()
         if metric not in ("L2", "IP", "COSINE"):
             raise ValueError(f"QuantizedIndex metric must be L2/IP/COSINE, "
@@ -224,6 +275,20 @@ class QuantizedIndex:
         # 0 = plain per-row SQ8 (the FAISS flat-SQ8 analogue).
         self.residual_nlist = int(residual_nlist)
         self.kmeans_iters = int(kmeans_iters)
+        # int4 refinement level (quantize_refinement): 0 = off, 4 = store
+        # a packed second residual level (1.5 B/dim total) reranked and
+        # reconstructed at ~12-bit fidelity. Capacity-mode recall fix.
+        if refine_bits not in (0, 4):
+            raise ValueError("refine_bits must be 0 or 4")
+        if refine_bits and dimension % 2:
+            raise ValueError("refine_bits=4 needs an even dimension")
+        self.refine_bits = int(refine_bits)
+        # Fallback-rerank candidate depth override (None = max(4k, 32)).
+        # Deeper candidates matter at capacity scale where the int8 scan's
+        # rounding noise can push a true neighbor past rank 32.
+        self.rerank_depth = rerank_depth
+        self.codes2: Optional[jnp.ndarray] = None  # [cap, D/2] uint8
+        self.scales2: Optional[jnp.ndarray] = None  # [cap] f32
         self.centroids: Optional[jnp.ndarray] = None  # [nlist, D] f32
         self.cells: Optional[jnp.ndarray] = None  # [cap] i32, -1 pad
         self._centroids_host: Optional[np.ndarray] = None
@@ -280,15 +345,30 @@ class QuantizedIndex:
                 codes[lo:hi], scales[lo:hi] = quantize_rows(resid)
         else:
             codes, scales = quantize_rows(vectors)
+        codes2 = scales2 = None
+        if self.refine_bits:
+            # second residual level, chunked like the first
+            codes2 = np.empty((len(vectors), self.dimension // 2), np.uint8)
+            scales2 = np.empty(len(vectors), np.float32)
+            for lo in range(0, len(vectors), 100_000):
+                hi = min(lo + 100_000, len(vectors))
+                base = vectors[lo:hi]
+                if cells is not None:
+                    base = base - self._centroids_host[cells[lo:hi]]
+                r2 = base - codes[lo:hi].astype(np.float32) \
+                    * scales[lo:hi, None]
+                codes2[lo:hi], scales2[lo:hi] = quantize_refinement(r2)
         self.paths.extend(list(paths))
         self.metadata.extend(list(metadata) if metadata is not None
                              else [{}] * len(paths))
         labels = np.asarray(labels, np.float32)
         ids = np.asarray(ids, np.int32)
         if self.n == 0:
-            self._install_codes(codes, scales, labels, ids, cells=cells)
+            self._install_codes(codes, scales, labels, ids, cells=cells,
+                                codes2=codes2, scales2=scales2)
         else:
-            self._append_codes(codes, scales, labels, ids, cells=cells)
+            self._append_codes(codes, scales, labels, ids, cells=cells,
+                               codes2=codes2, scales2=scales2)
 
     def _assign_or_train(self, vectors: np.ndarray) -> np.ndarray:
         """Coarse codebook for residual encoding: train on the first
@@ -314,10 +394,13 @@ class QuantizedIndex:
         return out
 
     def _norms_chunked(self, codes: np.ndarray, scales: np.ndarray,
-                       cells: Optional[np.ndarray]) -> np.ndarray:
+                       cells: Optional[np.ndarray],
+                       codes2: Optional[np.ndarray] = None,
+                       scales2: Optional[np.ndarray] = None) -> np.ndarray:
         """‖x̂‖² per row, chunked (a single-shot dequant of 1M × 5376 rows
         is 2 × 21.5 GB of f32 temporaries on the host). Residual mode
-        includes the centroid: x̂ = c_cell + s·codes."""
+        includes the centroid (x̂ = c_cell + s·codes); refine mode adds
+        the int4 level so the rerank's norms match its reconstruction."""
         n = codes.shape[0]
         norm_sq = np.empty(n, np.float32)
         for lo in range(0, n, 100_000):
@@ -325,12 +408,22 @@ class QuantizedIndex:
             deq = codes[lo:hi].astype(np.float32) * scales[lo:hi, None]
             if cells is not None:
                 deq = deq + self._centroids_host[cells[lo:hi]]
+            if codes2 is not None:
+                p = codes2[lo:hi]
+                lo4 = (p & 0xF).astype(np.int8)
+                hi4 = (p >> 4).astype(np.int8)
+                lo4 = np.where(lo4 > 7, lo4 - 16, lo4)
+                hi4 = np.where(hi4 > 7, hi4 - 16, hi4)
+                ref = np.stack([lo4, hi4], axis=-1).reshape(deq.shape)
+                deq = deq + ref.astype(np.float32) * scales2[lo:hi, None]
             norm_sq[lo:hi] = np.einsum("md,md->m", deq, deq)
         return norm_sq
 
     def _append_codes(self, codes: np.ndarray, scales: np.ndarray,
                       labels: np.ndarray, ids: np.ndarray,
-                      cells: Optional[np.ndarray] = None) -> None:
+                      cells: Optional[np.ndarray] = None,
+                      codes2: Optional[np.ndarray] = None,
+                      scales2: Optional[np.ndarray] = None) -> None:
         """Incremental device-side append, O(new rows) per call.
 
         Per-row symmetric quantization is independent across rows and
@@ -363,7 +456,10 @@ class QuantizedIndex:
                 self.cells = pad0(self.cells, fill=-1)
             if self.codes3 is not None:
                 self.codes3 = pad0(self.codes3)
-        norm_sq = self._norms_chunked(codes, scales, cells)
+            if self.codes2 is not None:
+                self.codes2 = pad0(self.codes2)
+                self.scales2 = pad0(self.scales2)
+        norm_sq = self._norms_chunked(codes, scales, cells, codes2, scales2)
         start = jnp.int32(self.n)
         dev = jnp.asarray(codes)
         self.codes = _dus(self.codes, dev, start)
@@ -373,6 +469,9 @@ class QuantizedIndex:
         self.ids = _dus(self.ids, jnp.asarray(ids), start)
         if cells is not None:
             self.cells = _dus(self.cells, jnp.asarray(cells), start)
+        if codes2 is not None:
+            self.codes2 = _dus(self.codes2, jnp.asarray(codes2), start)
+            self.scales2 = _dus(self.scales2, jnp.asarray(scales2), start)
         if self.codes3 is not None:
             sub_pad = self.codes3.shape[1]
             rows3 = jnp.pad(
@@ -383,14 +482,19 @@ class QuantizedIndex:
 
     def _install_codes(self, codes: np.ndarray, scales: np.ndarray,
                        labels: np.ndarray, ids: np.ndarray,
-                       cells: Optional[np.ndarray] = None) -> None:
+                       cells: Optional[np.ndarray] = None,
+                       codes2: Optional[np.ndarray] = None,
+                       scales2: Optional[np.ndarray] = None) -> None:
         """Install int8 codes directly (no re-quantization — a
         quantize(dequantize(·)) round trip can drift codes whose row max
         rounded below 127; VERDICT r1 weak #6)."""
         n = codes.shape[0]
-        norm_sq = self._norms_chunked(codes, scales, cells)
+        norm_sq = self._norms_chunked(codes, scales, cells, codes2, scales2)
         cap = _round_up(max(n, self.capacity_hint))
         pad = cap - n
+        if codes2 is not None:
+            self.codes2 = jnp.asarray(np.pad(codes2, ((0, pad), (0, 0))))
+            self.scales2 = jnp.asarray(np.pad(scales2, (0, pad)))
         if cells is not None:
             self.cells = jnp.asarray(
                 np.pad(np.asarray(cells, np.int32), (0, pad),
@@ -431,7 +535,9 @@ class QuantizedIndex:
                               self.ids, exclude_ids, k,
                               metric=self.metric, n_valid=self.n,
                               codes3=self.codes3, centroids=self.centroids,
-                              cells=self.cells)
+                              cells=self.cells, codes2=self.codes2,
+                              scales2=self.scales2,
+                              rerank_depth=self.rerank_depth)
         return np.asarray(d), np.asarray(i).astype(np.int64)
 
     def reconstruct_batch(self, indices) -> np.ndarray:
@@ -443,6 +549,15 @@ class QuantizedIndex:
         if self.centroids is not None:
             cell = np.asarray(self.cells)[safe.reshape(-1)]
             out = out + self._centroids_host[np.maximum(cell, 0)]
+        if self.codes2 is not None:
+            p = np.asarray(self.codes2)[safe.reshape(-1)]
+            lo4 = (p & 0xF).astype(np.int8)
+            hi4 = (p >> 4).astype(np.int8)
+            lo4 = np.where(lo4 > 7, lo4 - 16, lo4)
+            hi4 = np.where(hi4 > 7, hi4 - 16, hi4)
+            ref = np.stack([lo4, hi4], axis=-1).reshape(out.shape)
+            s2 = np.asarray(self.scales2)[safe.reshape(-1)]
+            out = out + ref.astype(np.float32) * s2[:, None]
         out = out.reshape(idx.shape + (self.dimension,))
         return np.where((idx >= 0)[..., None], out, 0.0).astype(np.float32)
 
@@ -455,6 +570,9 @@ class QuantizedIndex:
         if self.centroids is not None:
             arrays["centroids"] = self._centroids_host
             arrays["cells"] = np.asarray(self.cells)[: self.n]
+        if self.codes2 is not None:
+            arrays["codes2"] = np.asarray(self.codes2)[: self.n]
+            arrays["scales2"] = np.asarray(self.scales2)[: self.n]
         # atomic (temp + rename): see FlatIndex.save
         from radad_tpu.utils.atomic_io import (atomic_json_dump,
                                                atomic_pickle_dump,
@@ -463,7 +581,8 @@ class QuantizedIndex:
         atomic_savez(os.path.join(directory, "sq8_arrays.npz"), **arrays)
         atomic_json_dump({"dimension": self.dimension, "metric": self.metric,
                           "n": self.n,
-                          "residual_nlist": self.residual_nlist},
+                          "residual_nlist": self.residual_nlist,
+                          "refine_bits": self.refine_bits},
                          os.path.join(directory, "sq8_meta.json"))
         atomic_pickle_dump({"paths": self.paths, "metadata": self.metadata},
                            os.path.join(directory, "sq8_host.pkl"))
@@ -475,7 +594,8 @@ class QuantizedIndex:
             meta = json.load(f)
         data = np.load(os.path.join(directory, "sq8_arrays.npz"))
         idx = cls(meta["dimension"], meta["metric"], build_accel=build_accel,
-                  residual_nlist=int(meta.get("residual_nlist", 0)))
+                  residual_nlist=int(meta.get("residual_nlist", 0)),
+                  refine_bits=int(meta.get("refine_bits", 0)))
         with open(os.path.join(directory, "sq8_host.pkl"), "rb") as f:
             host = pickle.load(f)
         idx.paths = list(host["paths"])
@@ -485,6 +605,9 @@ class QuantizedIndex:
             idx._centroids_host = np.asarray(data["centroids"], np.float32)
             idx.centroids = jnp.asarray(idx._centroids_host)
             cells = np.asarray(data["cells"], np.int32)
-        idx._install_codes(data["codes"], data["scales"],
-                           data["labels"], data["ids"], cells=cells)
+        idx._install_codes(
+            data["codes"], data["scales"], data["labels"], data["ids"],
+            cells=cells,
+            codes2=data["codes2"] if "codes2" in data else None,
+            scales2=data["scales2"] if "scales2" in data else None)
         return idx

@@ -406,10 +406,17 @@ class DetectionPipeline:
         if self.is_quantized:
             from radad_tpu.index.quantized import QuantizedIndex
 
+            if self.mesh is not None and config.sq8_refine_bits:
+                raise ValueError(
+                    "sq8_refine_bits is a single-chip capacity-mode "
+                    "feature; the mesh-sharded SQ8 path consumes the "
+                    "canonical int8 arrays only")
             return QuantizedIndex(
                 self.tpp_dim, "L2", build_accel=self.mesh is None,
                 residual_nlist=config.sq8_residual_nlist,
-                kmeans_iters=config.vector_db_kmeans_iters)
+                kmeans_iters=config.vector_db_kmeans_iters,
+                refine_bits=config.sq8_refine_bits,
+                rerank_depth=config.sq8_rerank_depth)
         return FlatIndex(
             self.tpp_dim, config.vector_db_index_type.upper(),
             nlist=config.vector_db_nlist,
@@ -523,14 +530,19 @@ class DetectionPipeline:
         if self.is_quantized:
             base = (self.index.codes, self.index.scales, self.index.norm_sq,
                     self.index.labels, self.index.ids)
-            # residual-SQ8 state rides at the END so tuple lengths stay
-            # unambiguous: mesh = 5 (plain) / 7 (residual); single-chip =
-            # 6 (plain) / 8 (residual).
+            # residual-SQ8 state rides at the END so mesh tuple lengths
+            # stay unambiguous: mesh = 5 (plain) / 7 (residual).
             resid = ((self.index.centroids, self.index.cells)
                      if self.index.centroids is not None else ())
             if self.mesh is not None:
                 return base + resid  # sharded retrieve: canonical arrays
-            return base + (self.index.codes3,) + resid
+            # single-chip: FIXED 10-tuple with None placeholders (None is
+            # an empty pytree under jit) — optional state (codes3 accel
+            # copy, residual codebook, int4 refinement) no longer turns
+            # tuple length into a dispatch puzzle.
+            return base + (self.index.codes3, self.index.centroids,
+                           self.index.cells, self.index.codes2,
+                           self.index.scales2)
         if self.mesh is not None:
             base = (self.index.vectors, self.index.labels, self.index.ids,
                     self.index.norms_sq)
@@ -638,17 +650,17 @@ class DetectionPipeline:
             from radad_tpu.index.quantized import retrieve_on_device_sq8
 
             codes, scales, norm_sq, labels, ids = index_args[:5]
-            # mesh fallthrough (exclude_mode="self"/non-dividing batch)
-            # carries no codes3: lengths 5/7 vs single-chip 6/8.
-            has_codes3 = len(index_args) in (6, 8)
-            codes3 = index_args[5] if has_codes3 else None
-            cents = cls = None
-            if len(index_args) in (7, 8):
+            codes3 = cents = cls = codes2 = scales2 = None
+            if len(index_args) == 10:  # single-chip fixed tuple
+                codes3, cents, cls, codes2, scales2 = index_args[5:]
+            elif len(index_args) == 7:  # mesh fallthrough, residual mode
                 cents, cls = index_args[-2:]
             return retrieve_on_device_sq8(
                 tpp, codes, scales, norm_sq, labels, ids, exclude_ids,
                 k=k, metric="L2", n_valid=n_valid, codes3=codes3,
-                exclude_mode=exclude_mode, centroids=cents, cells=cls)
+                exclude_mode=exclude_mode, centroids=cents, cells=cls,
+                codes2=codes2, scales2=scales2,
+                rerank_depth=getattr(self.index, "rerank_depth", None))
         vectors, labels, ids, xsq = index_args[:4]
         if self.mesh is None and len(index_args) == 11:
             cents, chunk_rows, cell_chunks, cells = index_args[7:11]
@@ -1558,6 +1570,8 @@ class DetectionPipeline:
                 return False
             self.index = QuantizedIndex.load(
                 path, build_accel=self.mesh is None)
+            # serving knob, not persisted index state
+            self.index.rerank_depth = self.config.sq8_rerank_depth
             self._place_index_on_mesh()
         else:
             if not os.path.exists(os.path.join(path, "index_meta.json")):
