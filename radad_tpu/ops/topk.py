@@ -319,10 +319,15 @@ def extract_candidates(cand: jnp.ndarray, tsel: jnp.ndarray, m: int,
     assert m <= lanes_n, (m, lanes_n)
     assert tsel.shape == (b, t), (tsel.shape, (b, t))
     # block B so the slab + the m unrolled rounds' live temporaries stay
-    # inside the 16 MB scoped-VMEM stack: at bb=128, T=24 the unrolled
-    # max/where rounds hold ~19 MB of [bb, T, 128] temps (measured OOM);
-    # bb=64 halves that with 4 grid steps at B=256 — dispatch-cheap
-    bb = max(8, min(64, b))
+    # inside the 16 MB scoped-VMEM stack: at bb=128, T=24, m=8 the
+    # unrolled max/where rounds hold ~19 MB of [bb, T, 128] temps
+    # (measured OOM); the live set scales ~bb·T·m, so the block size must
+    # shrink as T and m grow — top_k=20 drives (T=40, m=20) and a fixed
+    # bb=64 blew the scoped stack at 31.3 MB (measured, round 5). Budget
+    # bb·T·m ≈ 18k units (~14 MB at the measured ~775 B/unit), multiple
+    # of 8, floor 8: reproduces bb=64 at the tuned (24, 8) point.
+    bb_cap = max(8, (18_000 // max(t * m, 1)) // 8 * 8)
+    bb = max(8, min(64, b, bb_cap))
     b_pad = _round_up(b, bb)
     if b_pad != b:
         cand = jnp.concatenate(

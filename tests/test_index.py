@@ -1259,7 +1259,10 @@ def test_extract_candidates_kernel_parity(rng):
 
     from radad_tpu.ops.topk import extract_candidates
 
-    for b, t, m in ((4, 8, 5), (30, 24, 8), (128, 24, 8)):
+    # (256, 40, 20) is the top_k=20 geometry whose t·m product blew the
+    # fixed bb=64 block's scoped-VMEM stack on the real chip (round 5) —
+    # pins the adaptive block-size path
+    for b, t, m in ((4, 8, 5), (30, 24, 8), (128, 24, 8), (256, 40, 20)):
         nt = 4 * t  # pretend the slab was gathered from a 4T-tile matrix
         cand = rng.standard_normal((b, t, 128)).astype(np.float32)
         cand[0, 0, :] = -np.inf  # empty tile
