@@ -77,6 +77,18 @@ def quantize_refinement(r2: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return packed, scale.astype(np.float32)
 
 
+def _unpack_nibbles_np(packed: np.ndarray) -> np.ndarray:
+    """numpy twin of ``unpack_refinement``'s nibble decode (unscaled):
+    packed uint8 [..., D/2] → int8 [..., D]. ONE definition of the
+    nibble layout for the host-side consumers (norms, reconstruct)."""
+    lo = (packed & 0xF).astype(np.int8)
+    hi = (packed >> 4).astype(np.int8)
+    lo = np.where(lo > 7, lo - 16, lo)
+    hi = np.where(hi > 7, hi - 16, hi)
+    return np.stack([lo, hi], axis=-1).reshape(
+        packed.shape[:-1] + (packed.shape[-1] * 2,))
+
+
 def unpack_refinement(packed, scales):
     """jnp: packed uint8 [..., D/2] + per-row scales [...] → f32 [..., D]
     refinement values (sign-extended 4-bit two's complement nibbles)."""
@@ -184,7 +196,9 @@ def _sq8_search(q, v_codes, v_scale, v_norm_sq, ids, exclude_ids, k, *,
                 "bd,brd->br", q,
                 ref.reshape(safe.shape + (q.shape[1],)), precision=hi)
     else:
-        r = (min(int(rerank_depth), cap) if rerank_depth
+        # floor at k: a depth override below k would feed top_k(exact, k)
+        # fewer than k candidates (ValueError)
+        r = (min(max(int(rerank_depth), k), cap) if rerank_depth
              else min(max(4 * k, 32), cap))
         cand_scores, cand_idx = jax.lax.top_k(scores, r)
         safe = jnp.clip(cand_idx, 0, cap - 1)
@@ -409,12 +423,7 @@ class QuantizedIndex:
             if cells is not None:
                 deq = deq + self._centroids_host[cells[lo:hi]]
             if codes2 is not None:
-                p = codes2[lo:hi]
-                lo4 = (p & 0xF).astype(np.int8)
-                hi4 = (p >> 4).astype(np.int8)
-                lo4 = np.where(lo4 > 7, lo4 - 16, lo4)
-                hi4 = np.where(hi4 > 7, hi4 - 16, hi4)
-                ref = np.stack([lo4, hi4], axis=-1).reshape(deq.shape)
+                ref = _unpack_nibbles_np(codes2[lo:hi])
                 deq = deq + ref.astype(np.float32) * scales2[lo:hi, None]
             norm_sq[lo:hi] = np.einsum("md,md->m", deq, deq)
         return norm_sq
@@ -550,12 +559,7 @@ class QuantizedIndex:
             cell = np.asarray(self.cells)[safe.reshape(-1)]
             out = out + self._centroids_host[np.maximum(cell, 0)]
         if self.codes2 is not None:
-            p = np.asarray(self.codes2)[safe.reshape(-1)]
-            lo4 = (p & 0xF).astype(np.int8)
-            hi4 = (p >> 4).astype(np.int8)
-            lo4 = np.where(lo4 > 7, lo4 - 16, lo4)
-            hi4 = np.where(hi4 > 7, hi4 - 16, hi4)
-            ref = np.stack([lo4, hi4], axis=-1).reshape(out.shape)
+            ref = _unpack_nibbles_np(np.asarray(self.codes2)[safe.reshape(-1)])
             s2 = np.asarray(self.scales2)[safe.reshape(-1)]
             out = out + ref.astype(np.float32) * s2[:, None]
         out = out.reshape(idx.shape + (self.dimension,))

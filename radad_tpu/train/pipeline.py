@@ -726,7 +726,8 @@ class DetectionPipeline:
             ivf_sig = (self.index.nprobe, budget,
                        self.index.ivf_chunk_rows.shape,
                        self.index.ivf_cell_chunks.shape)
-        key = (metric, n_valid, k, exclude_mode, ivf_sig)
+        key = (metric, n_valid, k, exclude_mode, ivf_sig,
+               getattr(self.index, "rerank_depth", None))
         fn = self._predict_cache.get(key)
         if fn is not None:
             return fn
@@ -1076,6 +1077,12 @@ class DetectionPipeline:
             vec = NamedSharding(mesh, P(INDEX_AXIS))
             if self.is_quantized:
                 idx_sh = (row, vec, vec, vec, vec)
+                if self.index.centroids is not None:
+                    # residual mode rides (centroids, cells) at the end
+                    # of the mesh tuple (_index_args): centroids
+                    # replicate, cells shard with their rows — matching
+                    # _place_index_on_mesh's placement
+                    idx_sh = idx_sh + (rep, vec)
             elif self.index.metric == "IVF":
                 idx_sh = (row, vec, vec, vec, rep, vec)
             else:
@@ -1154,6 +1161,15 @@ class DetectionPipeline:
                 self._build_steps()
                 train_step = self._train_step
                 epochs_since_best = 0  # stage-2 metric scale differs
+                # Stage-1 bests were measured under query-zeroed eval —
+                # incomparable to joint EERs. Without this reset a good
+                # stage-1 epoch permanently wins best_model selection
+                # and starves stage-2 early stopping (is_best never
+                # fires while stage 2 is still improving).
+                self.writer.best_by_eer = {"epoch": None,
+                                           "eer_percent": float("inf")}
+                self.writer.best_by_val_loss = {"epoch": None,
+                                                "val_loss": float("inf")}
             t_epoch = time.time()
             acc = {k: jnp.float32(0.0) for k in (
                 "loss_sum", "correct", "count", "nnz_sum", "gn_proj_sum",
@@ -1570,6 +1586,15 @@ class DetectionPipeline:
                 return False
             self.index = QuantizedIndex.load(
                 path, build_accel=self.mesh is None)
+            if self.mesh is not None and self.index.refine_bits:
+                # The mesh retrieval tuple (5/7 slots) carries no codes2:
+                # scoring with refined norms against int8-only dots would
+                # silently bias distances. Same contract as _make_index.
+                raise ValueError(
+                    "loaded SQ8 index has refine_bits=%d but refinement "
+                    "is a single-chip capacity-mode feature — rebuild "
+                    "without refinement for mesh serving"
+                    % self.index.refine_bits)
             # serving knob, not persisted index state
             self.index.rerank_depth = self.config.sq8_rerank_depth
             self._place_index_on_mesh()

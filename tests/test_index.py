@@ -1662,3 +1662,8 @@ def test_sq8_rerank_depth_knob(rng):
     deep = QuantizedIndex(d, "L2", rerank_depth=128)
     deep.add(x, labels, paths)
     assert recall(deep) >= recall(shallow)
+    # a depth override BELOW k must not crash top_k (floored at k)
+    tiny = QuantizedIndex(d, "L2", rerank_depth=3)
+    tiny.add(x, labels, paths)
+    _, got = tiny.search(q, k)
+    assert got.shape == (nq, k)

@@ -659,3 +659,8 @@ def test_freeze_query_curriculum(synthetic_dataset, tiny_encoder, tmp_path):
     # stage 2 must have run: >= freeze boundary + 1 epochs completed
     assert len(rows) >= 3, f"curriculum stopped early: {len(rows)} epochs"
     assert np.isfinite(rows[-1]["train_loss"])
+    # the best tracker resets at the boundary: stage-1 (query-zeroed)
+    # EERs are incomparable to joint EERs, so best_model selection and
+    # early stopping must only see stage-2 epochs
+    assert pipe.writer.best_by_eer["epoch"] is None or \
+        pipe.writer.best_by_eer["epoch"] > 2
